@@ -1,0 +1,213 @@
+"""HMDEgoPose: EfficientNet backbone + BiFPN + 5 anchor heads, assembled.
+
+Functional equivalent of the reference top model
+(pytorch-sandbox/backbone.py:13-133), exposing the same output tuple
+``(features, regression, classification, rotation, translation_raw, hand)``
+but as a pure function of a params/state pytree, plus a fully fused
+``predict`` program (forward + anchor decode + NMS) that keeps a frame on
+device from preprocessed pixels to final pose — the path the reference
+splits across torch, numpy, and TensorFlow
+(pytorch-sandbox/train.py:72-85, hmdegopose/loss.py:12-51,
+hmdegopose/layers.py:260-530).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hmd_ego_pose_tpu.config import ModelConfig
+from hmd_ego_pose_tpu.models import bifpn, efficientnet, heads
+from hmd_ego_pose_tpu.ops.anchors import anchors_for_shape
+from hmd_ego_pose_tpu.ops.decode import (
+    bbox_transform_inv,
+    clip_boxes,
+    decode_translation,
+)
+from hmd_ego_pose_tpu.ops.nms import Detections, filter_detections_batch
+
+
+class RawOutputs(NamedTuple):
+    """Raw head outputs, matching the reference forward's tuple
+    (backbone.py:104-125)."""
+
+    features: Tuple[jax.Array, ...]  # 5-level pyramid
+    regression: jax.Array  # (B, N, 4)
+    classification: jax.Array  # (B, N, num_classes), sigmoided
+    rotation: jax.Array  # (B, N, 3) axis-angle / pi
+    translation_raw: jax.Array  # (B, N, 3) anchor-relative (dx, dy, tz)
+    hand: jax.Array  # (B, N, 63)
+
+
+def init(key, config: ModelConfig) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Build the full params/state pytree for a given phi."""
+    keys = jax.random.split(key, 7)
+    num_anchors = config.num_anchors_per_location
+    fpn_ch = config.fpn_num_filters
+    levels = config.num_pyramid_levels
+    repeats = config.head_repeats
+
+    params: Dict[str, Any] = {}
+    state: Dict[str, Any] = {}
+
+    params["backbone"], state["backbone"] = efficientnet.init(
+        keys[0], config.backbone_coefficient
+    )
+    params["bifpn"], state["bifpn"] = bifpn.init(
+        keys[1], fpn_ch, config.conv_channels, config.fpn_cell_repeats
+    )
+    params["regressor"], state["regressor"] = heads.head_init(
+        keys[2], fpn_ch, 4, num_anchors, repeats, levels
+    )
+    params["classifier"], state["classifier"] = heads.head_init(
+        keys[3], fpn_ch, config.num_classes, num_anchors, repeats, levels
+    )
+    params["rotation"], state["rotation"] = heads.head_init(
+        keys[4], fpn_ch, config.num_rotation_parameters, num_anchors, repeats, levels,
+        config.iter_steps,
+    )
+    params["translation"], state["translation"] = heads.translation_head_init(
+        keys[5], fpn_ch, num_anchors, repeats, levels, config.iter_steps
+    )
+    params["hand"], state["hand"] = heads.head_init(
+        keys[6], fpn_ch, config.num_hand_parameters, num_anchors, repeats, levels,
+        config.iter_steps,
+    )
+    return params, state
+
+
+def apply(
+    params,
+    state,
+    images,
+    config: ModelConfig,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
+) -> Tuple[RawOutputs, Dict[str, Any]]:
+    """Forward pass: NHWC images -> raw head outputs.
+
+    ``images`` are already preprocessed (normalized float).  The conv stack
+    runs in ``config.compute_dtype``; outputs are float32.
+    """
+    x = images.astype(jnp.dtype(config.compute_dtype))
+    new_state: Dict[str, Any] = {}
+
+    feats, new_state["backbone"] = efficientnet.apply(
+        params["backbone"], state["backbone"], x,
+        coefficient=config.backbone_coefficient,
+        training=training, rng=rng, axis_name=axis_name,
+    )
+    pyramid, new_state["bifpn"] = bifpn.apply(
+        params["bifpn"], state["bifpn"], feats,
+        attention=config.phi < 6, training=training, axis_name=axis_name,
+    )
+
+    regression, new_state["regressor"] = heads.head_apply(
+        params["regressor"], state["regressor"], pyramid, 4,
+        training=training, axis_name=axis_name,
+    )
+    classification, new_state["classifier"] = heads.classification_apply(
+        params["classifier"], state["classifier"], pyramid, config.num_classes,
+        training=training, axis_name=axis_name,
+    )
+    rotation, new_state["rotation"] = heads.head_apply(
+        params["rotation"], state["rotation"], pyramid, config.num_rotation_parameters,
+        config.iter_steps, training=training, axis_name=axis_name,
+    )
+    translation_raw, new_state["translation"] = heads.translation_head_apply(
+        params["translation"], state["translation"], pyramid,
+        config.iter_steps, training=training, axis_name=axis_name,
+    )
+    hand, new_state["hand"] = heads.head_apply(
+        params["hand"], state["hand"], pyramid, config.num_hand_parameters,
+        config.iter_steps, training=training, axis_name=axis_name,
+    )
+
+    out = RawOutputs(
+        features=pyramid,
+        regression=regression.astype(jnp.float32),
+        classification=classification.astype(jnp.float32),
+        rotation=rotation.astype(jnp.float32),
+        translation_raw=translation_raw.astype(jnp.float32),
+        hand=hand.astype(jnp.float32),
+    )
+    return out, new_state
+
+
+# ---------------------------------------------------------------------------
+# Fused inference program
+# ---------------------------------------------------------------------------
+
+
+def decode_outputs(outputs: RawOutputs, camera_parameters, config: ModelConfig):
+    """Anchor decode on raw outputs: boxes (clipped) and metric translation.
+
+    Anchors are compile-time constants (the reference regenerates them in
+    numpy every step, hmdegopose/loss.py:25-28).
+    """
+    anchors_np, trans_anchors_np = anchors_for_shape(
+        (config.image_size, config.image_size), config.anchors
+    )
+    anchors = jnp.asarray(anchors_np)
+    trans_anchors = jnp.asarray(trans_anchors_np)
+
+    boxes = bbox_transform_inv(anchors[None], outputs.regression)
+    boxes = clip_boxes(boxes, config.image_size, config.image_size)
+    translation = decode_translation(
+        trans_anchors[None], outputs.translation_raw, camera_parameters
+    )
+    return boxes, translation
+
+
+def predict(
+    params,
+    state,
+    images,
+    camera_parameters,
+    config: ModelConfig,
+    score_threshold: float = 0.5,
+    iou_threshold: float = 0.5,
+    max_detections: int = 100,
+) -> Detections:
+    """Fused: forward -> decode -> filter.  One XLA program, HBM-resident.
+
+    Returns batch Detections; ``rotation`` is still in the network's
+    normalized units (multiply by pi for radians, eval/common.py:466).
+    """
+    outputs, _ = apply(params, state, images, config, training=False)
+    boxes, translation = decode_outputs(outputs, camera_parameters, config)
+    return filter_detections_batch(
+        boxes,
+        outputs.classification,
+        outputs.rotation,
+        translation,
+        outputs.hand,
+        score_threshold=score_threshold,
+        iou_threshold=iou_threshold,
+        max_detections=max_detections,
+    )
+
+
+def make_predict_fn(
+    config: ModelConfig,
+    score_threshold: float = 0.5,
+    iou_threshold: float = 0.5,
+    max_detections: int = 100,
+):
+    """jit-compiled predict closure with config baked in statically."""
+
+    @jax.jit
+    def fn(params, state, images, camera_parameters):
+        return predict(
+            params, state, images, camera_parameters, config,
+            score_threshold=score_threshold,
+            iou_threshold=iou_threshold,
+            max_detections=max_detections,
+        )
+
+    return fn

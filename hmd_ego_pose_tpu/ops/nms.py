@@ -1,0 +1,146 @@
+"""Fixed-shape on-device non-maximum suppression and detection filtering.
+
+The reference's FilterDetections leaves the GPU, converts torch -> TensorFlow
+tensors on the CPU, runs ``tf.image.non_max_suppression``, and converts back
+through numpy (pytorch-sandbox/hmdegopose/layers.py:260-530) — with an
+effective batch size of 1.  Here the whole filter (score threshold -> greedy
+NMS -> top-K -> pad-with-(-1)) is a static-shape jnp program: it jits, vmaps
+over the batch, and fuses into the single inference XLA program so a frame
+never leaves HBM between forward pass and final pose.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hmd_ego_pose_tpu.ops.iou import iou_matrix
+
+
+class Detections(NamedTuple):
+    """Filtered detections, padded to ``max_detections`` with -1.
+
+    Field layout matches the reference's filter_detections return
+    (layers.py:394-400) plus an explicit validity count.
+    """
+
+    boxes: jax.Array  # (K, 4)
+    scores: jax.Array  # (K,)
+    labels: jax.Array  # (K,) int32, -1 for padding
+    rotation: jax.Array  # (K, 3)
+    translation: jax.Array  # (K, 3)
+    hand: jax.Array  # (K, 63)
+    num_valid: jax.Array  # () int32
+
+
+def greedy_nms_mask(boxes, scores, valid, iou_threshold: float):
+    """Greedy NMS keep-mask over score-descending candidates.
+
+    Args:
+        boxes: (K, 4) candidate boxes sorted by descending score.
+        scores: (K,) their scores (unused except for dtype symmetry).
+        valid: (K,) bool, False for below-threshold/padding entries.
+        iou_threshold: suppression IoU threshold.
+    Returns:
+        (K,) bool keep mask.  Matches tf.image.non_max_suppression semantics
+        for pre-sorted inputs: a candidate is suppressed if it overlaps a
+        *kept* earlier candidate above the threshold.
+    """
+    k = boxes.shape[0]
+    iou = iou_matrix(boxes, boxes)  # (K, K)
+    over = iou > iou_threshold
+
+    def body(i, keep):
+        # suppressed if any kept j < i overlaps i
+        earlier = (jnp.arange(k) < i) & keep
+        suppressed = jnp.any(earlier & over[i])
+        return keep.at[i].set(keep[i] & ~suppressed)
+
+    return jax.lax.fori_loop(0, k, body, valid)
+
+
+def filter_detections(
+    boxes,
+    classification,
+    rotation,
+    translation,
+    hand,
+    score_threshold: float = 0.01,
+    iou_threshold: float = 0.5,
+    max_detections: int = 100,
+    nms: bool = True,
+) -> Detections:
+    """Single-image detection filter (score threshold + NMS + top-K + pad).
+
+    Args:
+        boxes: (N, 4) decoded, clipped boxes.
+        classification: (N, C) sigmoid scores.
+        rotation: (N, 3); translation: (N, 3); hand: (N, 63).
+    Returns:
+        Detections padded to ``max_detections`` with -1 (layers.py:376-392).
+
+    For the single-class case (the only one exercised by the reference data)
+    per-class filtering and best-class filtering coincide; multi-class inputs
+    take the best-scoring class per anchor, which matches the reference's
+    ``class_specific_filter`` output for non-overlapping classes.
+    """
+    num_classes = classification.shape[-1]
+    scores = jnp.max(classification, axis=-1)  # (N,)
+    labels = jnp.argmax(classification, axis=-1).astype(jnp.int32)
+
+    k = max_detections
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    valid = top_scores > score_threshold
+    top_boxes = boxes[top_idx]
+
+    if nms:
+        keep = greedy_nms_mask(top_boxes, top_scores, valid, iou_threshold)
+    else:
+        keep = valid
+
+    # stable-compact kept entries to the front, preserving score order
+    order = jnp.argsort(~keep, stable=True)
+    src = top_idx[order]
+    kept = keep[order]
+
+    num_valid = jnp.sum(keep.astype(jnp.int32))
+
+    def pad(x, fill=-1.0):
+        gathered = x[src]
+        mask_shape = (k,) + (1,) * (gathered.ndim - 1)
+        return jnp.where(kept.reshape(mask_shape), gathered, fill)
+
+    out_labels = jnp.where(kept, labels[src], -1).astype(jnp.int32)
+    return Detections(
+        boxes=pad(boxes),
+        scores=jnp.where(kept, top_scores[order], -1.0),
+        labels=out_labels,
+        rotation=pad(rotation),
+        translation=pad(translation),
+        hand=pad(hand),
+        num_valid=num_valid,
+    )
+
+
+def filter_detections_batch(
+    boxes,
+    classification,
+    rotation,
+    translation,
+    hand,
+    score_threshold: float = 0.01,
+    iou_threshold: float = 0.5,
+    max_detections: int = 100,
+    nms: bool = True,
+) -> Detections:
+    """vmapped batch variant: all inputs carry a leading batch dimension."""
+    fn = lambda b, c, r, t, h: filter_detections(
+        b, c, r, t, h,
+        score_threshold=score_threshold,
+        iou_threshold=iou_threshold,
+        max_detections=max_detections,
+        nms=nms,
+    )
+    return jax.vmap(fn)(boxes, classification, rotation, translation, hand)

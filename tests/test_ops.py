@@ -1,0 +1,171 @@
+"""Tests for IoU, NMS, distances, and geometry kernels."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from hmd_ego_pose_tpu.ops.distances import (
+    add_mean_distance,
+    adds_mean_distance,
+    min_distances,
+)
+from hmd_ego_pose_tpu.ops.geometry import (
+    axis_angle_to_matrix,
+    matrix_to_axis_angle,
+    np_axis_angle_to_matrix,
+    project_points,
+    rotate_points_axis_angle,
+    rotation_angular_distance,
+)
+from hmd_ego_pose_tpu.ops.iou import iou_matrix, iou_matrix_np
+from hmd_ego_pose_tpu.ops.nms import filter_detections, filter_detections_batch
+
+
+def _naive_iou(a, b):
+    out = np.zeros((a.shape[0], b.shape[0]))
+    for i in range(a.shape[0]):
+        for j in range(b.shape[0]):
+            iw = min(a[i, 2], b[j, 2]) - max(a[i, 0], b[j, 0])
+            ih = min(a[i, 3], b[j, 3]) - max(a[i, 1], b[j, 1])
+            if iw <= 0 or ih <= 0:
+                continue
+            inter = iw * ih
+            ua = (
+                (a[i, 2] - a[i, 0]) * (a[i, 3] - a[i, 1])
+                + (b[j, 2] - b[j, 0]) * (b[j, 3] - b[j, 1])
+                - inter
+            )
+            out[i, j] = inter / ua
+    return out
+
+
+def test_iou_matrix_matches_naive():
+    rng = np.random.RandomState(7)
+    a = rng.uniform(0, 200, size=(23, 4))
+    a[:, 2:] = a[:, :2] + rng.uniform(1, 60, size=(23, 2))
+    b = rng.uniform(0, 200, size=(9, 4))
+    b[:, 2:] = b[:, :2] + rng.uniform(1, 60, size=(9, 2))
+
+    expected = _naive_iou(a, b)
+    np.testing.assert_allclose(np.asarray(iou_matrix(jnp.asarray(a), jnp.asarray(b))), expected, atol=1e-5)
+    np.testing.assert_allclose(iou_matrix_np(a, b), expected, atol=1e-12)
+
+
+def _naive_greedy_nms(boxes, scores, score_threshold, iou_threshold, max_det):
+    """tf.image.non_max_suppression-style reference in pure python."""
+    idx = [i for i in np.argsort(-scores) if scores[i] > score_threshold]
+    keep = []
+    for i in idx:
+        ok = True
+        for j in keep:
+            if _naive_iou(boxes[i : i + 1], boxes[j : j + 1])[0, 0] > iou_threshold:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+        if len(keep) == max_det:
+            break
+    return keep
+
+
+def test_filter_detections_matches_naive_nms():
+    rng = np.random.RandomState(3)
+    n = 64
+    boxes = rng.uniform(0, 200, size=(n, 4))
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(4, 50, size=(n, 2))
+    scores = rng.uniform(0, 1, size=(n, 1))
+    rotation = rng.normal(size=(n, 3))
+    translation = rng.normal(size=(n, 3))
+    hand = rng.normal(size=(n, 63))
+
+    det = filter_detections(
+        jnp.asarray(boxes),
+        jnp.asarray(scores),
+        jnp.asarray(rotation),
+        jnp.asarray(translation),
+        jnp.asarray(hand),
+        score_threshold=0.3,
+        iou_threshold=0.5,
+        max_detections=16,
+    )
+
+    expected = _naive_greedy_nms(boxes, scores[:, 0], 0.3, 0.5, 16)
+    nv = int(det.num_valid)
+    assert nv == len(expected)
+    np.testing.assert_allclose(np.asarray(det.boxes)[:nv], boxes[expected], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(det.scores)[:nv], scores[expected, 0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(det.rotation)[:nv], rotation[expected], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(det.hand)[:nv], hand[expected], rtol=1e-5)
+    # padding is -1
+    assert np.all(np.asarray(det.boxes)[nv:] == -1)
+    assert np.all(np.asarray(det.labels)[nv:] == -1)
+    assert np.all(np.asarray(det.labels)[:nv] == 0)
+
+
+def test_filter_detections_batch_shapes():
+    rng = np.random.RandomState(5)
+    b, n = 3, 128
+    boxes = rng.uniform(0, 200, size=(b, n, 4))
+    boxes[..., 2:] = boxes[..., :2] + 10
+    det = filter_detections_batch(
+        jnp.asarray(boxes),
+        jnp.asarray(rng.uniform(0, 1, size=(b, n, 1))),
+        jnp.asarray(rng.normal(size=(b, n, 3))),
+        jnp.asarray(rng.normal(size=(b, n, 3))),
+        jnp.asarray(rng.normal(size=(b, n, 63))),
+        max_detections=8,
+    )
+    assert det.boxes.shape == (b, 8, 4)
+    assert det.scores.shape == (b, 8)
+    assert det.hand.shape == (b, 8, 63)
+    assert det.num_valid.shape == (b,)
+
+
+def test_min_distances_matches_naive():
+    rng = np.random.RandomState(11)
+    gt = rng.normal(size=(50, 3))
+    pred = rng.normal(size=(40, 3))
+    expected = np.array([np.min(np.linalg.norm(pred - g, axis=1)) for g in gt])
+    np.testing.assert_allclose(np.asarray(min_distances(jnp.asarray(gt), jnp.asarray(pred))), expected, atol=1e-5)
+
+    # symmetric mean distance of identical sets is 0
+    assert float(adds_mean_distance(jnp.asarray(gt), jnp.asarray(gt))) < 1e-6
+    assert float(add_mean_distance(jnp.asarray(gt), jnp.asarray(gt))) < 1e-6
+
+
+def test_rotate_points_matches_scipy():
+    rng = np.random.RandomState(13)
+    rotvec = rng.normal(size=(3,))
+    points = rng.normal(size=(10, 3))
+    expected = Rotation.from_rotvec(rotvec).apply(points)
+    got = np.asarray(rotate_points_axis_angle(jnp.asarray(points), jnp.asarray(rotvec)))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_axis_angle_matrix_roundtrip():
+    rng = np.random.RandomState(17)
+    for _ in range(5):
+        rotvec = rng.normal(size=(3,))
+        m_scipy = Rotation.from_rotvec(rotvec).as_matrix()
+        m_jnp = np.asarray(axis_angle_to_matrix(jnp.asarray(rotvec)))
+        m_np = np_axis_angle_to_matrix(rotvec)
+        np.testing.assert_allclose(m_jnp, m_scipy, atol=1e-5)
+        np.testing.assert_allclose(m_np, m_scipy, atol=1e-10)
+        back = matrix_to_axis_angle(m_scipy)
+        np.testing.assert_allclose(back, rotvec, atol=1e-8)
+
+
+def test_rotation_angular_distance():
+    r1 = Rotation.from_euler("z", 30, degrees=True).as_matrix()
+    r2 = Rotation.from_euler("z", 75, degrees=True).as_matrix()
+    d = float(rotation_angular_distance(jnp.asarray(r1), jnp.asarray(r2)))
+    np.testing.assert_allclose(d, 45.0, atol=1e-4)
+
+
+def test_project_points_pinhole():
+    cam = np.array([[572.4114, 0, 325.2611], [0, 573.57043, 242.04899], [0, 0, 1.0]])
+    pts = np.array([[0.0, 0.0, 0.0]])
+    rot = np.eye(3)
+    trans = np.array([0.0, 0.0, 1000.0])
+    uv = np.asarray(project_points(jnp.asarray(pts), jnp.asarray(rot), jnp.asarray(trans), jnp.asarray(cam)))
+    np.testing.assert_allclose(uv[0], [325.2611, 242.04899], atol=1e-4)
