@@ -191,17 +191,25 @@ def swish(x):
 
 
 def max_pool_same(x, kernel: int = 3, stride: int = 2):
-    """Max pool with TF SAME padding (MaxPool2dStaticSamePadding)."""
+    """Max pool with TF SAME padding.
+
+    NOTE: the reference's MaxPool2dStaticSamePadding zero-pads before pooling
+    (utils_extra.py:50-87, F.pad default value 0), so border maxima are
+    clamped at >= 0 rather than ignoring padding.  We replicate that — it is
+    observable through trained weights.  Implemented as explicit zero pad +
+    -inf-identity reduce_window over the padded tensor.
+    """
     h, w = x.shape[1], x.shape[2]
     pad_h = same_padding(h, kernel, stride)
     pad_w = same_padding(w, kernel, stride)
+    x = jnp.pad(x, ((0, 0), pad_h, pad_w, (0, 0)))
     return jax.lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
         jax.lax.max,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, stride, stride, 1),
-        padding=((0, 0), pad_h, pad_w, (0, 0)),
+        padding="VALID",
     )
 
 

@@ -1,0 +1,98 @@
+"""Structural tests for the full HMDEgoPose model."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hmd_ego_pose_tpu.config import ModelConfig
+from hmd_ego_pose_tpu.models import efficientnet, hmd_ego_pose
+from hmd_ego_pose_tpu.models.efficientnet import block_specs, round_filters, round_repeats
+
+
+def small_config(image_size=128, iter_steps=0):
+    return ModelConfig(phi=0, image_size=image_size, iter_steps=iter_steps)
+
+
+def test_block_specs_b0():
+    specs = block_specs(0)
+    assert len(specs) == 16
+    strides = [s["stride"] for s in specs]
+    assert strides.count(2) == 4  # stages 2, 3, 4, 6 downsample
+    assert specs[0]["in_ch"] == 32 and specs[0]["out_ch"] == 16
+    assert specs[-1]["out_ch"] == 320
+
+
+def test_round_filters_and_repeats():
+    # b0 identity
+    assert round_filters(32, 1.0) == 32
+    # b2 (width 1.1): 32 -> 32, 320 -> 352
+    assert round_filters(32, 1.1) == 32
+    assert round_filters(320, 1.1) == 352
+    assert round_repeats(3, 1.2) == 4
+
+
+def test_backbone_feature_shapes():
+    key = jax.random.PRNGKey(0)
+    params, state = efficientnet.init(key, 0)
+    x = jnp.zeros((1, 128, 128, 3))
+    (p3, p4, p5), _ = efficientnet.apply(params, state, x)
+    assert p3.shape == (1, 16, 16, 40)
+    assert p4.shape == (1, 8, 8, 112)
+    assert p5.shape == (1, 4, 4, 320)
+
+
+def test_model_output_shapes():
+    cfg = small_config()
+    key = jax.random.PRNGKey(0)
+    params, state = hmd_ego_pose.init(key, cfg)
+    x = jnp.zeros((2, 128, 128, 3))
+    out, new_state = hmd_ego_pose.apply(params, state, x, cfg)
+
+    n = cfg.total_anchors
+    assert n == (16 ** 2 + 8 ** 2 + 4 ** 2 + 2 ** 2 + 1) * 9
+    assert out.regression.shape == (2, n, 4)
+    assert out.classification.shape == (2, n, 1)
+    assert out.rotation.shape == (2, n, 3)
+    assert out.translation_raw.shape == (2, n, 3)
+    assert out.hand.shape == (2, n, 63)
+    assert len(out.features) == 5
+    # classification is sigmoided
+    c = np.asarray(out.classification)
+    assert c.min() >= 0 and c.max() <= 1
+
+
+def test_model_with_iterative_refinement():
+    cfg = small_config(iter_steps=1)
+    key = jax.random.PRNGKey(1)
+    params, state = hmd_ego_pose.init(key, cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    out, _ = hmd_ego_pose.apply(params, state, x, cfg)
+    assert out.rotation.shape == (1, cfg.total_anchors, 3)
+    assert out.translation_raw.shape == (1, cfg.total_anchors, 3)
+    assert out.hand.shape == (1, cfg.total_anchors, 63)
+
+
+def test_predict_end_to_end():
+    cfg = small_config()
+    key = jax.random.PRNGKey(2)
+    params, state = hmd_ego_pose.init(key, cfg)
+    images = jax.random.normal(key, (1, 128, 128, 3)) * 0.1
+    cam = jnp.array([[572.4, 573.5, 64.0, 64.0, 1000.0, 0.5]])
+
+    predict_fn = hmd_ego_pose.make_predict_fn(cfg, score_threshold=0.01, max_detections=10)
+    det = predict_fn(params, state, images, cam)
+    assert det.boxes.shape == (1, 10, 4)
+    assert det.translation.shape == (1, 10, 3)
+    assert det.hand.shape == (1, 10, 63)
+    assert int(det.num_valid[0]) >= 0
+
+
+def test_param_count_phi0_reasonable():
+    """EfficientPose-phi0 should be in the ~4M parameter regime."""
+    cfg = small_config()
+    params, _ = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    assert 3_000_000 < n < 6_000_000, n

@@ -1,0 +1,142 @@
+"""Numerical parity of the NN primitives against torch (CPU) references.
+
+The reference's weight-compatibility hinges on TF-style SAME padding
+(pytorch-sandbox/efficientnet/utils_extra.py:9-87) and torch BatchNorm
+semantics (momentum 0.01, eps 1e-3).  These tests build the equivalent torch
+ops inline (from the documented formulas, not imported reference code) and
+require agreement to float32 tolerance.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from hmd_ego_pose_tpu.nn.core import (  # noqa: E402
+    batch_norm_apply,
+    conv_apply,
+    depthwise_conv_apply,
+    max_pool_same,
+    resize_nearest_2x,
+    same_padding,
+    swish,
+)
+
+
+def _torch_same_pad(x, kernel, stride):
+    """TF SAME padding in torch, as the reference does (utils_extra.py:33-47)."""
+    h, w = x.shape[-2:]
+    import math
+
+    extra_h = (math.ceil(w / stride) - 1) * stride - w + kernel
+    extra_v = (math.ceil(h / stride) - 1) * stride - h + kernel
+    left = extra_h // 2
+    top = extra_v // 2
+    return F.pad(x, [left, extra_h - left, top, extra_v - top])
+
+
+@pytest.mark.parametrize("size,kernel,stride", [(256, 3, 2), (15, 3, 1), (8, 5, 2), (7, 3, 2), (2, 3, 2)])
+def test_same_padding_formula(size, kernel, stride):
+    import math
+
+    lo, hi = same_padding(size, kernel, stride)
+    extra = (math.ceil(size / stride) - 1) * stride - size + kernel
+    assert lo == extra // 2 and hi == extra - extra // 2
+
+
+@pytest.mark.parametrize("stride,kernel,in_ch,out_ch,hw", [(1, 1, 8, 16, 9), (2, 3, 3, 32, 15), (1, 3, 8, 8, 8), (2, 5, 4, 8, 13)])
+def test_conv_matches_torch(stride, kernel, in_ch, out_ch, hw):
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(2, hw, hw, in_ch)).astype(np.float32)
+    w = rng.normal(scale=0.1, size=(kernel, kernel, in_ch, out_ch)).astype(np.float32)
+    b = rng.normal(size=(out_ch,)).astype(np.float32)
+
+    got = np.asarray(conv_apply({"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}, jnp.asarray(x), stride=stride))
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    wt = torch.from_numpy(w.transpose(3, 2, 0, 1))  # HWIO -> OIHW
+    xt = _torch_same_pad(xt, kernel, stride)
+    yt = F.conv2d(xt, wt, torch.from_numpy(b), stride=stride)
+    expected = yt.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_depthwise_conv_matches_torch():
+    rng = np.random.RandomState(1)
+    ch, hw, kernel, stride = 16, 13, 3, 2
+    x = rng.normal(size=(2, hw, hw, ch)).astype(np.float32)
+    w = rng.normal(scale=0.1, size=(kernel, kernel, 1, ch)).astype(np.float32)
+
+    got = np.asarray(depthwise_conv_apply({"kernel": jnp.asarray(w)}, jnp.asarray(x), stride=stride))
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    # HWIO (I=1, O=ch) -> torch depthwise OIHW (ch, 1, kh, kw)
+    wt = torch.from_numpy(w.transpose(3, 2, 0, 1))
+    xt = _torch_same_pad(xt, kernel, stride)
+    yt = F.conv2d(xt, wt, None, stride=stride, groups=ch)
+    expected = yt.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_max_pool_matches_torch():
+    rng = np.random.RandomState(2)
+    x = rng.normal(size=(2, 15, 15, 8)).astype(np.float32)
+    got = np.asarray(max_pool_same(jnp.asarray(x), kernel=3, stride=2))
+    xt = _torch_same_pad(torch.from_numpy(x.transpose(0, 3, 1, 2)), 3, 2)
+    # pad with -inf for pooling correctness: replicate via masking large negative
+    yt = F.max_pool2d(xt, 3, 2)
+    expected = yt.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_batch_norm_matches_torch_eval_and_train():
+    rng = np.random.RandomState(3)
+    ch = 6
+    x = rng.normal(size=(4, 5, 5, ch)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, ch).astype(np.float32)
+    bias = rng.normal(size=ch).astype(np.float32)
+    mean = rng.normal(size=ch).astype(np.float32)
+    var = rng.uniform(0.5, 2.0, ch).astype(np.float32)
+
+    params = {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}
+    state = {"mean": jnp.asarray(mean), "var": jnp.asarray(var)}
+
+    bn = torch.nn.BatchNorm2d(ch, momentum=0.01, eps=1e-3)
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(scale))
+        bn.bias.copy_(torch.from_numpy(bias))
+        bn.running_mean.copy_(torch.from_numpy(mean))
+        bn.running_var.copy_(torch.from_numpy(var))
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    # eval mode
+    bn.eval()
+    y, new_state = batch_norm_apply(params, state, jnp.asarray(x), training=False)
+    expected = bn(xt).detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-5)
+
+    # train mode: output + running-stat update
+    bn.train()
+    y, new_state = batch_norm_apply(params, state, jnp.asarray(x), training=True)
+    expected = bn(xt).detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_state["mean"]), bn.running_mean.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["var"]), bn.running_var.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_swish_matches_torch():
+    x = np.linspace(-5, 5, 101).astype(np.float32)
+    got = np.asarray(swish(jnp.asarray(x)))
+    expected = F.silu(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_resize_nearest_matches_torch():
+    rng = np.random.RandomState(4)
+    x = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)
+    got = np.asarray(resize_nearest_2x(jnp.asarray(x)))
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    expected = F.interpolate(xt, scale_factor=2, mode="nearest").numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, expected)
