@@ -1,0 +1,212 @@
+"""Tests for on-device target assignment and the vmapped loss stack.
+
+Each test re-derives the reference semantics in plain numpy (boolean gathers,
+per-image loops — the style of pytorch-sandbox/hmdegopose/loss.py and
+generators/utils/anchors.py) and checks the fixed-shape jnp versions agree.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from hmd_ego_pose_tpu.config import LossConfig
+from hmd_ego_pose_tpu.losses import (
+    focal_loss,
+    smooth_l1_loss,
+    total_loss,
+    transformation_loss,
+)
+from hmd_ego_pose_tpu.ops.anchors import anchors_for_shape, bbox_transform
+from hmd_ego_pose_tpu.ops.iou import iou_matrix_np
+from hmd_ego_pose_tpu.ops.target_assign import AnchorTargets, assign_targets, assign_targets_batch
+
+
+def _numpy_assign(anchors, gt_boxes, image_size, pos=0.5, neg=0.4):
+    overlaps = iou_matrix_np(anchors, gt_boxes)
+    argmax = np.argmax(overlaps, axis=1)
+    max_ov = overlaps[np.arange(len(anchors)), argmax]
+    positive = max_ov >= pos
+    positive[np.argmax(overlaps, axis=0)] = True
+    ignore = (max_ov > neg) & ~positive
+    state = np.zeros(len(anchors))
+    state[positive] = 1
+    state[ignore] = -1
+    cx = (anchors[:, 0] + anchors[:, 2]) / 2
+    cy = (anchors[:, 1] + anchors[:, 3]) / 2
+    state[(cx >= image_size) | (cy >= image_size)] = -1
+    return state, argmax
+
+
+def test_assign_targets_matches_numpy():
+    anchors, _ = anchors_for_shape((256, 256))
+    rng = np.random.RandomState(0)
+    gt = np.array([[60.0, 80.0, 140.0, 180.0]], dtype=np.float32)
+    labels = np.array([0], dtype=np.int32)
+    transform = rng.normal(size=(1, 8)).astype(np.float32)
+    coords = rng.normal(size=(1, 63)).astype(np.float32)
+    valid = np.array([True])
+
+    out = assign_targets(
+        jnp.asarray(anchors), jnp.asarray(gt), jnp.asarray(labels),
+        jnp.asarray(transform), jnp.asarray(coords), jnp.asarray(valid),
+        num_classes=1, image_size=256,
+    )
+    state_np, argmax_np = _numpy_assign(anchors, gt, 256)
+
+    np.testing.assert_array_equal(np.asarray(out.state), state_np)
+    # positives exist and labels one-hot set only there
+    pos = state_np == 1
+    assert pos.sum() >= 1
+    np.testing.assert_array_equal(np.asarray(out.labels)[pos, 0], 1.0)
+    np.testing.assert_array_equal(np.asarray(out.labels)[~pos, 0], 0.0)
+    # regression targets equal the reference encoding against argmax GT
+    expected_reg = bbox_transform(anchors.astype(np.float64), gt[argmax_np])
+    np.testing.assert_allclose(np.asarray(out.regression), expected_reg, atol=1e-4)
+    # transformation rows are broadcast of the single GT
+    np.testing.assert_allclose(np.asarray(out.transformation)[pos], np.tile(transform, (pos.sum(), 1)), atol=1e-6)
+
+
+def test_assign_targets_no_valid_gt():
+    anchors, _ = anchors_for_shape((256, 256))
+    out = assign_targets(
+        jnp.asarray(anchors),
+        jnp.zeros((1, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 8)), jnp.zeros((1, 63)), jnp.asarray([False]),
+        num_classes=1, image_size=256,
+    )
+    state = np.asarray(out.state)
+    assert not np.any(state == 1)
+    assert np.all(np.asarray(out.labels) == 0)
+
+
+def test_assign_targets_batch_shape():
+    anchors, _ = anchors_for_shape((128, 128))
+    b, k = 2, 3
+    out = assign_targets_batch(
+        jnp.asarray(anchors),
+        jnp.zeros((b, k, 4)), jnp.zeros((b, k), jnp.int32),
+        jnp.zeros((b, k, 8)), jnp.zeros((b, k, 63)),
+        jnp.zeros((b, k), bool),
+        num_classes=1, image_size=128,
+    )
+    n = anchors.shape[0]
+    assert out.state.shape == (b, n)
+    assert out.regression.shape == (b, n, 4)
+
+
+def _ref_focal(labels, cls, state, alpha=0.25, gamma=1.5):
+    keep = state != -1
+    l, c = labels[keep], np.clip(cls, 1e-4, 1 - 1e-4)[keep]
+    af = np.where(l == 1, alpha, 1 - alpha)
+    fw = af * np.where(l == 1, 1 - c, c) ** gamma
+    bce = -(l * np.log(c) + (1 - l) * np.log(1 - c))
+    return (fw * bce).sum() / max((state == 1).sum(), 1)
+
+
+def test_focal_loss_matches_reference_semantics():
+    rng = np.random.RandomState(1)
+    n = 500
+    state = rng.choice([-1.0, 0.0, 1.0], size=n, p=[0.1, 0.8, 0.1])
+    labels = (state == 1).astype(np.float32)[:, None]
+    cls = rng.uniform(0.01, 0.99, size=(n, 1)).astype(np.float32)
+
+    got = float(focal_loss(jnp.asarray(labels), jnp.asarray(cls), jnp.asarray(state)))
+    expected = _ref_focal(labels, cls, state)
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_smooth_l1_matches_reference_semantics():
+    rng = np.random.RandomState(2)
+    n, d = 300, 4
+    state = rng.choice([-1.0, 0.0, 1.0], size=n, p=[0.1, 0.8, 0.1])
+    targets = rng.normal(size=(n, d)).astype(np.float32)
+    preds = (targets + rng.normal(scale=0.5, size=(n, d))).astype(np.float32)
+
+    got = float(smooth_l1_loss(jnp.asarray(targets), jnp.asarray(preds), jnp.asarray(state)))
+
+    keep = state == 1
+    diff = np.abs(preds - targets)[keep]
+    sigma_sq = 9.0
+    elem = np.where(diff <= 1 / sigma_sq, 0.5 * sigma_sq * diff ** 2, diff - 0.5 / sigma_sq)
+    expected = elem.sum() / max(keep.sum(), 1)
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_transformation_loss_zero_for_exact_prediction():
+    rng = np.random.RandomState(3)
+    n = 100
+    state = np.zeros(n)
+    state[:5] = 1.0
+    rotvec = rng.normal(size=3) * 0.5
+    trans = rng.normal(size=3) * 100
+    gt = np.zeros((n, 8), np.float32)
+    gt[:, :3] = rotvec / np.pi
+    gt[:, 3:6] = trans
+    gt[:, 6] = 0.0  # asymmetric
+    gt[:, 7] = 0.0
+    pred = gt[:, :6].copy()
+    points = rng.normal(size=(1, 50, 3)).astype(np.float32)
+
+    rot_l, trans_l = transformation_loss(
+        jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(state), jnp.asarray(points)
+    )
+    assert float(rot_l) < 1e-4
+    assert float(trans_l) < 1e-6
+
+
+def test_transformation_loss_symmetric_invariance():
+    """A symmetric object rotated about its symmetry set should score ~0 via
+    min-distance; the asymmetric (paired) loss must be positive."""
+    n = 10
+    state = np.zeros(n)
+    state[0] = 1.0
+    # points on a circle in the xy plane (rotational symmetry about z)
+    theta = np.linspace(0, 2 * np.pi, 36, endpoint=False)
+    points = np.stack([np.cos(theta), np.sin(theta), np.zeros_like(theta)], axis=1)
+
+    # gt: identity; pred: rotation about z by exactly one point spacing
+    dtheta = theta[1] - theta[0]
+    gt = np.zeros((n, 8), np.float32)
+    pred = np.zeros((n, 6), np.float32)
+    pred[:, :3] = np.array([0, 0, dtheta]) / np.pi
+
+    gt_sym = gt.copy()
+    gt_sym[:, 6] = 1.0
+    rot_sym, _ = transformation_loss(
+        jnp.asarray(gt_sym), jnp.asarray(pred), jnp.asarray(state), jnp.asarray(points[None])
+    )
+    rot_asym, _ = transformation_loss(
+        jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(state), jnp.asarray(points[None])
+    )
+    assert float(rot_sym) < 1e-4
+    assert float(rot_asym) > 0.01
+
+
+def test_total_loss_runs_and_weights():
+    rng = np.random.RandomState(4)
+    b, n, c = 2, 200, 1
+    state = np.zeros((b, n), np.float32)
+    state[:, :3] = 1.0
+    targets = AnchorTargets(
+        labels=jnp.asarray((state == 1)[:, :, None].astype(np.float32)),
+        regression=jnp.asarray(rng.normal(size=(b, n, 4)).astype(np.float32)),
+        transformation=jnp.asarray(rng.normal(size=(b, n, 8)).astype(np.float32) * 0.1),
+        coords_3d=jnp.asarray(rng.normal(size=(b, n, 63)).astype(np.float32)),
+        state=jnp.asarray(state),
+    )
+    bundle = total_loss(
+        targets,
+        classification=jnp.asarray(rng.uniform(0.1, 0.9, size=(b, n, c)).astype(np.float32)),
+        regression=jnp.asarray(rng.normal(size=(b, n, 4)).astype(np.float32)),
+        rotation=jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32) * 0.1),
+        translation=jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32)),
+        hand=jnp.asarray(rng.normal(size=(b, n, 63)).astype(np.float32)),
+        model_3d_points=jnp.asarray(rng.normal(size=(1, 50, 3)).astype(np.float32)),
+    )
+    total = (
+        bundle.classification + bundle.regression + bundle.rotation
+        + bundle.translation + bundle.hand
+    )
+    np.testing.assert_allclose(float(bundle.total), float(total), rtol=1e-6)
+    assert all(np.isfinite(float(x)) for x in bundle)
