@@ -1,0 +1,206 @@
+"""Colibri (syn/real) dataset reader — LINEMOD on-disk layout.
+
+Re-implements the reference reader's behaviour
+(pytorch-sandbox/generators/colibri.py:14-583) without cv2/plyfile:
+
+* per-fold split files ``{train,val,test}_{fold}.txt``;
+* ``gt_{fold}.yml``: per-frame ``cam_R_m2c`` (row-major 9-vector),
+  ``cam_t_m2c`` (mm), ``obj_bb``, ``obj_id``, ``drill_tip_transform``;
+* ``info_{fold}.yml``: per-frame ``cam_K`` intrinsics;
+* ``models/obj_{id:02d}.ply`` 3-D model + ``models_info.yml`` (diameter);
+* hand joints from ``hands/{frame}_coords_3d.npy``;
+* 2-D bbox derived from the segmentation mask (colibri.py:411-412);
+* object id 2 and name "none" are treated as symmetric (colibri.py:27).
+
+Annotation schema (per frame, single object):
+    labels (1,), bboxes (1, 4), rotations (1, 5) = [axis-angle, is_sym,
+    class], translations (1, 3) mm, translations_x_y_2D (1, 2), coords_3d
+    (1, 21, 3), drill_tip_transform (1, 4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import yaml
+
+from hmd_ego_pose_tpu.config import DataConfig
+from hmd_ego_pose_tpu.data.image import imread_rgb
+from hmd_ego_pose_tpu.data.ply import load_ply_vertices
+from hmd_ego_pose_tpu.ops.geometry import matrix_to_axis_angle, np_axis_angle_to_matrix
+
+
+def get_bbox_from_mask(mask: np.ndarray, mask_value: Optional[int] = None):
+    """2-D bbox of a mask region (colibri_common.py:536-560)."""
+    if mask.ndim == 3:
+        mask = mask[..., 0]
+    sel = (mask != 0) if mask_value is None else (mask == mask_value)
+    ys, xs = np.where(sel)
+    if ys.size == 0:
+        return np.zeros((4,), np.float32), False
+    return np.array([xs.min(), ys.min(), xs.max(), ys.max()], np.float32), True
+
+
+def project_origin_2d(rotation_vector, translation_vector, camera_matrix):
+    """Project the object-frame origin to pixels (the translation centrepoint)."""
+    # origin point: R @ 0 + t = t
+    t = np.asarray(translation_vector, np.float64)
+    u = camera_matrix[0, 0] * t[0] / t[2] + camera_matrix[0, 2]
+    v = camera_matrix[1, 1] * t[1] / t[2] + camera_matrix[1, 2]
+    return np.array([u, v], np.float64)
+
+
+def subsample_model_points(points: np.ndarray, count: int) -> np.ndarray:
+    """Deterministic stride subsample / zero-pad to ``count`` points.
+
+    Must match the reference exactly (colibri_common.py:735-775): stride
+    ``(num_points // count) - 1`` clamped at 1, then truncate.
+    """
+    num = points.shape[0]
+    if num == count:
+        return points.astype(np.float32)
+    if num < count:
+        out = np.zeros((count, 3), np.float32)
+        out[:num] = points
+        return out
+    step = max((num // count) - 1, 1)
+    return points[::step][:count].astype(np.float32)
+
+
+class ColibriDataset:
+    """Random-access reader for one object of a syn/real colibri fold+partition."""
+
+    def __init__(
+        self,
+        dataset_path: str,
+        fold: int = 0,
+        object_id: int = 1,
+        partition: str = "train",
+        image_extension: str = ".png",
+        symmetric_objects=frozenset({"none", 2}),
+        rotation_parameter: int = 3,
+    ):
+        self.dataset_path = dataset_path
+        self.object_id = object_id
+        self.partition = partition
+        self.symmetric_objects = symmetric_objects
+        self.rotation_parameter = rotation_parameter
+        self.translation_parameter = 3
+
+        data_dir = os.path.join(dataset_path, "data")
+        model_dir = os.path.join(dataset_path, "models")
+        object_path = os.path.join(data_dir, f"{object_id:02d}")
+        if not os.path.isdir(object_path):
+            # some layouts use unpadded ids
+            object_path = os.path.join(data_dir, str(object_id))
+        self.object_path = object_path
+
+        split_file = os.path.join(object_path, f"{partition}_{fold}.txt")
+        with open(split_file) as f:
+            examples = {line.strip() for line in f if line.strip()}
+
+        with open(os.path.join(object_path, f"gt_{fold}.yml")) as f:
+            gt_dict = yaml.safe_load(f)
+        with open(os.path.join(object_path, f"info_{fold}.yml")) as f:
+            info_dict = yaml.safe_load(f)
+        with open(os.path.join(model_dir, "models_info.yml")) as f:
+            models_info = yaml.safe_load(f)
+
+        self.model_info = models_info[object_id]
+        self.diameter = float(self.model_info["diameter"])
+        self.model_3d_points = load_ply_vertices(
+            os.path.join(model_dir, f"obj_{object_id:02d}.ply")
+        )
+
+        rgb_dir = os.path.join(object_path, "rgb")
+        names = sorted(
+            fn for fn in os.listdir(rgb_dir)
+            if fn.endswith(image_extension) and fn[: -len(image_extension)] in examples
+        )
+        self.image_paths = [os.path.join(rgb_dir, fn) for fn in names]
+        self.mask_paths = [p.replace("rgb", "mask") for p in self.image_paths]
+        self.frame_ids = [int(fn.split(".")[0]) for fn in names]
+
+        self.infos = []
+        self.annotations = []
+        is_sym = float(self.is_symmetric_object(object_id))
+        for frame_id, mask_path in zip(self.frame_ids, self.mask_paths):
+            gts = [g for g in gt_dict[frame_id] if g["obj_id"] == object_id]
+            gt = gts[0]
+            cam_k = np.reshape(np.asarray(info_dict[frame_id]["cam_K"], np.float64), (3, 3))
+            self.infos.append(cam_k)
+
+            rot_mat = np.reshape(np.asarray(gt["cam_R_m2c"], np.float64), (3, 3))
+            rotvec = matrix_to_axis_angle(rot_mat)
+            trans = np.asarray(gt["cam_t_m2c"], np.float64)
+
+            anno = {
+                "labels": np.zeros((1,), np.int64),
+                "bboxes": np.zeros((1, 4), np.float64),
+                "rotations": np.zeros((1, self.rotation_parameter + 2), np.float64),
+                "translations": trans[None, :].copy(),
+                "translations_x_y_2D": project_origin_2d(rotvec, trans, cam_k)[None, :],
+                "coords_3d": np.zeros((1, 21, 3), np.float64),
+                "drill_tip_transform": np.asarray(gt["drill_tip_transform"], np.float64)[None, :],
+            }
+            anno["rotations"][0, :3] = rotvec
+            anno["rotations"][0, 3] = is_sym
+            anno["rotations"][0, 4] = 0.0
+
+            mask = imread_rgb(mask_path)
+            anno["bboxes"][0], _ = get_bbox_from_mask(mask)
+
+            hands_dir = os.path.join(os.path.dirname(os.path.dirname(mask_path)), "hands")
+            coords_path = os.path.join(hands_dir, f"{frame_id:06d}_coords_3d.npy")
+            anno["coords_3d"][0] = np.load(coords_path)
+
+            self.annotations.append(anno)
+
+        # single-class mappings (colibri.py:71-75)
+        self.class_to_name = {0: "object"}
+        self.name_to_class = {"object": 0}
+        self.name_to_mask_value = {"object": 255}
+        self.class_labels_to_object_ids = {0: object_id}
+
+    # -- protocol -----------------------------------------------------------------
+    def __len__(self):
+        return len(self.image_paths)
+
+    size = __len__
+
+    def num_classes(self) -> int:
+        return 1
+
+    def has_label(self, label) -> bool:
+        return label in self.class_to_name
+
+    def is_symmetric_object(self, name_or_id) -> bool:
+        return name_or_id in self.symmetric_objects
+
+    def load_image(self, i: int) -> np.ndarray:
+        return imread_rgb(self.image_paths[i])
+
+    def load_mask(self, i: int) -> np.ndarray:
+        return imread_rgb(self.mask_paths[i])
+
+    def load_annotations(self, i: int) -> Dict[str, np.ndarray]:
+        return {k: v.copy() for k, v in self.annotations[i].items()}
+
+    def load_camera_matrix(self, i: int) -> np.ndarray:
+        return self.infos[i].copy()
+
+    def load_drill_tip_offset(self, i: int) -> np.ndarray:
+        return self.annotations[i]["drill_tip_transform"].copy()
+
+    # -- model points -------------------------------------------------------------
+    def model_points_for_loss(self, count: int = 500) -> np.ndarray:
+        """(num_classes, count, 3) loss subsample (colibri_common.py:712-730)."""
+        return subsample_model_points(self.model_3d_points, count)[None, :, :]
+
+    def get_models_3d_points_dict(self):
+        return {0: self.model_3d_points}
+
+    def get_objects_diameter_dict(self):
+        return {0: self.diameter}

@@ -1,0 +1,164 @@
+"""Synthetic colibri-layout dataset generator.
+
+Writes a real LINEMOD-format dataset (rgb/, mask/, hands/, gt_{fold}.yml,
+info_{fold}.yml, split txts, models/*.ply + models_info.yml) populated with a
+procedurally rendered rigid "drill" proxy (a colored cuboid point cloud
+projected through a pinhole camera) plus a synthetic 21-joint hand.
+
+Purpose: the reference repo ships only dataset *metadata*
+(/root/reference/datasets/*/models/models_info.yml) — no images — so this
+generator provides an end-to-end substrate for training/eval tests and
+benchmarks that exercises the exact same reader path
+(hmd_ego_pose_tpu.data.colibri.ColibriDataset) a real download would.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+import yaml
+
+from hmd_ego_pose_tpu.data.image import imwrite
+from hmd_ego_pose_tpu.ops.geometry import np_axis_angle_to_matrix
+
+
+def _cuboid_points(size=(40.0, 24.0, 110.0), n=600, rng=None) -> np.ndarray:
+    """Dense points on the surface of a box centred at the origin (mm)."""
+    rng = rng or np.random.RandomState(0)
+    sx, sy, sz = size
+    pts = rng.uniform(-0.5, 0.5, size=(n, 3)) * np.array(size)
+    # project each point onto a random face to get a surface distribution
+    face = rng.randint(0, 3, size=n)
+    sign = rng.choice([-0.5, 0.5], size=n)
+    for i in range(n):
+        pts[i, face[i]] = sign[i] * (sx, sy, sz)[face[i]]
+    return pts
+
+
+def _project(points, rot_mat, trans, cam_k):
+    cam = points @ rot_mat.T + trans
+    z = np.clip(cam[:, 2], 1e-6, None)
+    u = cam_k[0, 0] * cam[:, 0] / z + cam_k[0, 2]
+    v = cam_k[1, 1] * cam[:, 1] / z + cam_k[1, 2]
+    return np.stack([u, v], axis=1), z
+
+
+def _splat(image, mask, uv, z, color, radius=3):
+    """Painter's-algorithm point splat with z-ordering."""
+    h, w = image.shape[:2]
+    order = np.argsort(-z)  # far to near
+    for i in order:
+        x, y = int(round(uv[i, 0])), int(round(uv[i, 1]))
+        if 0 <= x < w and 0 <= y < h:
+            x0, x1 = max(0, x - radius), min(w, x + radius + 1)
+            y0, y1 = max(0, y - radius), min(h, y + radius + 1)
+            shade = 0.6 + 0.4 * (i % 7) / 7.0
+            image[y0:y1, x0:x1] = (np.asarray(color) * shade).astype(np.uint8)
+            mask[y0:y1, x0:x1] = 255
+
+
+def generate_synthetic_colibri(
+    root: str,
+    num_frames: int = 20,
+    image_size: Tuple[int, int] = (480, 480),
+    folds=(0,),
+    object_id: int = 1,
+    seed: int = 0,
+    val_fraction: float = 0.2,
+    test_fraction: float = 0.2,
+) -> str:
+    """Write a synthetic dataset under ``root``; returns the dataset path."""
+    rng = np.random.RandomState(seed)
+    w, h = image_size
+    cam_k = np.array([[480.0, 0.0, w / 2], [0.0, 480.0, h / 2], [0.0, 0.0, 1.0]])
+
+    obj_dir = os.path.join(root, "data", f"{object_id:02d}")
+    model_dir = os.path.join(root, "models")
+    for sub in ("rgb", "mask", "hands"):
+        os.makedirs(os.path.join(obj_dir, sub), exist_ok=True)
+    os.makedirs(model_dir, exist_ok=True)
+
+    model_points = _cuboid_points(rng=rng)
+    size = model_points.max(axis=0) - model_points.min(axis=0)
+    diameter = float(np.linalg.norm(size))
+
+    # write the PLY model (ascii)
+    ply_path = os.path.join(model_dir, f"obj_{object_id:02d}.ply")
+    with open(ply_path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(model_points)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\nend_header\n")
+        for p in model_points:
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+
+    mins = model_points.min(axis=0)
+    models_info = {
+        object_id: {
+            "diameter": diameter,
+            "min_x": float(mins[0]), "min_y": float(mins[1]), "min_z": float(mins[2]),
+            "size_x": float(size[0]), "size_y": float(size[1]), "size_z": float(size[2]),
+        }
+    }
+    with open(os.path.join(model_dir, "models_info.yml"), "w") as f:
+        yaml.safe_dump(models_info, f)
+
+    # the drill tip: the extreme +z point of the model (homogeneous)
+    tip = model_points[np.argmax(model_points[:, 2])]
+    drill_tip_transform = [float(tip[0]), float(tip[1]), float(tip[2]), 1.0]
+
+    gt, info = {}, {}
+    for frame in range(num_frames):
+        rotvec = rng.normal(size=3)
+        rotvec = rotvec / np.linalg.norm(rotvec) * rng.uniform(0.0, np.pi * 0.9)
+        rot_mat = np_axis_angle_to_matrix(rotvec)
+        trans = np.array([
+            rng.uniform(-60, 60), rng.uniform(-60, 60), rng.uniform(400, 700),
+        ])
+
+        image = rng.randint(20, 80, size=(h, w, 3)).astype(np.uint8)
+        mask = np.zeros((h, w), np.uint8)
+        uv, z = _project(model_points, rot_mat, trans, cam_k)
+        _splat(image, mask, uv, z, color=(60, 160, 220))
+
+        # synthetic hand: 21 joints hovering near the object (meters in the
+        # real data are mm here; reference stores them unscaled in npy)
+        hand_center = trans + rng.normal(scale=20, size=3)
+        hand = hand_center + rng.normal(scale=30, size=(21, 3))
+
+        imwrite(os.path.join(obj_dir, "rgb", f"{frame:06d}.png"), image)
+        imwrite(os.path.join(obj_dir, "mask", f"{frame:06d}.png"), mask)
+        np.save(os.path.join(obj_dir, "hands", f"{frame:06d}_coords_3d.npy"), hand)
+
+        gt[frame] = [
+            {
+                "cam_R_m2c": [float(x) for x in rot_mat.reshape(-1)],
+                "cam_t_m2c": [float(x) for x in trans],
+                "obj_bb": [0, 0, 1, 1],  # unused; bbox comes from the mask
+                "obj_id": object_id,
+                "drill_tip_transform": drill_tip_transform,
+            }
+        ]
+        info[frame] = {"cam_K": [float(x) for x in cam_k.reshape(-1)], "depth_scale": 1.0}
+
+    ids = list(range(num_frames))
+    rng.shuffle(ids)
+    n_test = max(1, int(num_frames * test_fraction))
+    n_val = max(1, int(num_frames * val_fraction))
+    splits = {
+        "test": ids[:n_test],
+        "val": ids[n_test: n_test + n_val],
+        "train": ids[n_test + n_val:],
+    }
+
+    for fold in folds:
+        with open(os.path.join(obj_dir, f"gt_{fold}.yml"), "w") as f:
+            yaml.safe_dump(gt, f)
+        with open(os.path.join(obj_dir, f"info_{fold}.yml"), "w") as f:
+            yaml.safe_dump(info, f)
+        for name, frame_ids in splits.items():
+            with open(os.path.join(obj_dir, f"{name}_{fold}.txt"), "w") as f:
+                f.write("\n".join(f"{i:06d}" for i in sorted(frame_ids)) + "\n")
+
+    return root

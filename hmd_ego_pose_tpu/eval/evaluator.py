@@ -1,0 +1,207 @@
+"""Full-dataset evaluation harness.
+
+Equivalent of the reference's evaluate/evaluate_model
+(pytorch-sandbox/eval/common.py:56-321, 866-1121): run the fused on-device
+predict program per image, match detections to ground truth by IoU, score
+every 6-DoF/hand metric, and aggregate per class.  The inner products
+(point transforms, min-distances) are numpy on small arrays; the expensive
+part — forward + decode + NMS — is one jitted TPU program per image batch.
+
+Key behavioural parity points:
+* detections are filtered at ``score_threshold`` then capped to
+  ``max_detections`` by descending score (eval/common.py:426-447);
+* predicted rotations are multiplied by pi, boxes divided by the image scale
+  (eval/common.py:464-466);
+* a detection is a true positive if IoU >= iou_threshold against an
+  unclaimed annotation (eval/common.py:957-961);
+* the "mixed" metrics select ADD-S / sym point distance for symmetric
+  objects and ADD / asym otherwise (eval/common.py:1105-1121).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional
+
+import numpy as np
+
+from hmd_ego_pose_tpu.config import Config
+from hmd_ego_pose_tpu.data.image import preprocess_image
+from hmd_ego_pose_tpu.eval import metrics as M
+from hmd_ego_pose_tpu.ops.geometry import np_axis_angle_to_matrix
+from hmd_ego_pose_tpu.ops.iou import iou_matrix_np
+
+
+@dataclasses.dataclass
+class EvalResult:
+    """Aggregated metrics (all means over the evaluated class set)."""
+
+    mean_ap: float = 0.0
+    add_accuracy: float = 0.0
+    add_s_accuracy: float = 0.0
+    mixed_add_and_add_s_accuracy: float = 0.0
+    accuracy_5cm_5degree: float = 0.0
+    accuracy_2d_projection: float = 0.0
+    translation_error_mean_mm: float = 0.0
+    translation_error_std_mm: float = 0.0
+    rotation_error_mean_deg: float = 0.0
+    rotation_error_std_deg: float = 0.0
+    tip_error_mean_mm: float = 0.0
+    tip_error_std_mm: float = 0.0
+    hand_error_mean_mm: float = 0.0
+    hand_error_std_mm: float = 0.0
+    point_distance_mean_mm: float = 0.0
+    point_distance_std_mm: float = 0.0
+    sym_point_distance_mean_mm: float = 0.0
+    sym_point_distance_std_mm: float = 0.0
+    mixed_point_distance_mean_mm: float = 0.0
+    mixed_point_distance_std_mm: float = 0.0
+
+    def scalars(self) -> Dict[str, float]:
+        return dataclasses.asdict(self)
+
+
+def evaluate_model(
+    dataset,
+    predict_fn,
+    params,
+    bn_state,
+    config: Config,
+    score_threshold: Optional[float] = None,
+    max_eval_images: Optional[int] = None,
+) -> EvalResult:
+    """Evaluate ``predict_fn`` over every image of ``dataset``.
+
+    Args:
+        dataset: a ColibriDataset (or compatible protocol).
+        predict_fn: jitted (params, state, images[1HWC], cam[1,6]) -> Detections.
+        score_threshold: post-hoc filter (defaults to config.eval).
+    """
+    import jax.numpy as jnp
+
+    ecfg = config.eval
+    thr = ecfg.score_threshold if score_threshold is None else score_threshold
+    size = len(dataset) if max_eval_images is None else min(len(dataset), max_eval_images)
+
+    model_points = dataset.get_models_3d_points_dict()[0]
+    diameter = dataset.get_objects_diameter_dict()[0]
+    is_symmetric = dataset.is_symmetric_object(dataset.class_labels_to_object_ids[0])
+
+    false_positives, true_positives, scores_all = [], [], []
+    num_annotations = 0
+    tp_add, tp_add_s, tp_5cm5deg, tp_2d = [], [], [], []
+    t_diffs, r_diffs, tip_diffs, hand_diffs = [], [], [], []
+    point_errors, sym_point_errors = [], []
+
+    for i in range(size):
+        raw = dataset.load_image(i)
+        image, scale = preprocess_image(raw, config.model.image_size)
+        cam_k = dataset.load_camera_matrix(i)
+        cam_input = np.array(
+            [cam_k[0, 0], cam_k[1, 1], cam_k[0, 2], cam_k[1, 2], 1000.0, scale],
+            np.float32,
+        )
+
+        det = predict_fn(
+            params, bn_state, jnp.asarray(image[None]), jnp.asarray(cam_input[None])
+        )
+        boxes = np.asarray(det.boxes[0]) / scale
+        det_scores = np.asarray(det.scores[0])
+        rotations = np.asarray(det.rotation[0]) * math.pi
+        translations = np.asarray(det.translation[0])
+        hands = np.asarray(det.hand[0])
+
+        keep = np.where(det_scores > thr)[0]
+        order = np.argsort(-det_scores[keep])[: ecfg.max_detections]
+        keep = keep[order]
+
+        anno = dataset.load_annotations(i)
+        gt_boxes = anno["bboxes"]
+        num_annotations += gt_boxes.shape[0]
+        claimed = set()
+
+        for d in keep:
+            scores_all.append(det_scores[d])
+            if gt_boxes.shape[0] == 0:
+                false_positives.append(1)
+                true_positives.append(0)
+                continue
+
+            overlaps = iou_matrix_np(boxes[d: d + 1], gt_boxes)
+            j = int(np.argmax(overlaps[0]))
+            if overlaps[0, j] >= ecfg.iou_threshold and j not in claimed:
+                claimed.add(j)
+                false_positives.append(0)
+                true_positives.append(1)
+
+                r_gt = np_axis_angle_to_matrix(anno["rotations"][j, :3])
+                t_gt = anno["translations"][j]
+                r_pred = np_axis_angle_to_matrix(rotations[d])
+                t_pred = translations[d]
+
+                ok_add, mean_add = M.check_add(
+                    model_points, diameter, r_gt, t_gt, r_pred, t_pred, ecfg.diameter_threshold
+                )
+                ok_add_s, mean_add_s = M.check_add_s(
+                    model_points, diameter, r_gt, t_gt, r_pred, t_pred,
+                    ecfg.diameter_threshold, ecfg.adds_max_points,
+                )
+                ok_5cm, t_dist, r_dist, tip_dist = M.check_5cm_5degree(
+                    r_gt, t_gt, r_pred, t_pred, dataset.load_drill_tip_offset(i)
+                )
+                ok_2d = M.check_2d_reprojection(
+                    model_points, r_gt, t_gt, r_pred, t_pred, cam_k, ecfg.pixel_threshold
+                )
+                hand_err = M.hand_mpjpe_mm(anno["coords_3d"][j], hands[d])
+
+                tp_add.append(ok_add)
+                tp_add_s.append(ok_add_s)
+                tp_5cm5deg.append(ok_5cm)
+                tp_2d.append(ok_2d)
+                t_diffs.append(t_dist)
+                r_diffs.append(r_dist)
+                tip_diffs.append(tip_dist)
+                hand_diffs.append(hand_err)
+                point_errors.append(mean_add)
+                sym_point_errors.append(mean_add_s)
+            else:
+                false_positives.append(1)
+                true_positives.append(0)
+
+    result = EvalResult()
+    if num_annotations == 0:
+        return result
+
+    # AP over score-sorted detections
+    order = np.argsort(-np.asarray(scores_all)) if scores_all else np.array([], int)
+    fp = np.cumsum(np.asarray(false_positives, float)[order])
+    tp = np.cumsum(np.asarray(true_positives, float)[order])
+    recall = tp / num_annotations
+    precision = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+    result.mean_ap = M.compute_average_precision(recall, precision) if len(tp) else 0.0
+
+    def acc(flags):
+        return float(np.sum(flags)) / num_annotations if flags else 0.0
+
+    def mean_std(vals):
+        return (float(np.mean(vals)), float(np.std(vals))) if vals else (0.0, 0.0)
+
+    result.add_accuracy = acc(tp_add)
+    result.add_s_accuracy = acc(tp_add_s)
+    result.mixed_add_and_add_s_accuracy = result.add_s_accuracy if is_symmetric else result.add_accuracy
+    result.accuracy_5cm_5degree = acc(tp_5cm5deg)
+    result.accuracy_2d_projection = acc(tp_2d)
+    result.translation_error_mean_mm, result.translation_error_std_mm = mean_std(t_diffs)
+    result.rotation_error_mean_deg, result.rotation_error_std_deg = mean_std(r_diffs)
+    result.tip_error_mean_mm, result.tip_error_std_mm = mean_std(tip_diffs)
+    result.hand_error_mean_mm, result.hand_error_std_mm = mean_std(hand_diffs)
+    result.point_distance_mean_mm, result.point_distance_std_mm = mean_std(point_errors)
+    result.sym_point_distance_mean_mm, result.sym_point_distance_std_mm = mean_std(sym_point_errors)
+    if is_symmetric:
+        result.mixed_point_distance_mean_mm = result.sym_point_distance_mean_mm
+        result.mixed_point_distance_std_mm = result.sym_point_distance_std_mm
+    else:
+        result.mixed_point_distance_mean_mm = result.point_distance_mean_mm
+        result.mixed_point_distance_std_mm = result.point_distance_std_mm
+    return result

@@ -1,0 +1,38 @@
+"""Host-side ReduceLROnPlateau, matching torch's semantics.
+
+The reference steps torch's scheduler on the validation mixed-point-distance
+mean (pytorch-sandbox/train.py:107-109, 273): mode='min', factor=0.5,
+patience=15, threshold=1e-4 (relative), cooldown=0, min_lr=1e-7.
+"""
+
+from __future__ import annotations
+
+
+class ReduceLROnPlateau:
+    def __init__(
+        self,
+        initial_lr: float,
+        factor: float = 0.5,
+        patience: int = 15,
+        threshold: float = 1e-4,
+        min_lr: float = 1e-7,
+    ):
+        self.lr = initial_lr
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        """Record an epoch metric; returns the (possibly reduced) lr."""
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+            if self.num_bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad_epochs = 0
+        return self.lr

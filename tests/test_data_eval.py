@@ -1,0 +1,208 @@
+"""End-to-end data + eval tests on a synthetic colibri-layout dataset."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from hmd_ego_pose_tpu.config import Config, DataConfig, ModelConfig
+from hmd_ego_pose_tpu.data.augment import augment_6dof
+from hmd_ego_pose_tpu.data.colibri import ColibriDataset, get_bbox_from_mask, subsample_model_points
+from hmd_ego_pose_tpu.data.image import (
+    get_rotation_matrix_2d,
+    preprocess_image,
+    resize_bilinear,
+    warp_affine,
+)
+from hmd_ego_pose_tpu.data.pipeline import InputPipeline
+from hmd_ego_pose_tpu.data.ply import load_ply_vertices
+from hmd_ego_pose_tpu.data.synthetic import generate_synthetic_colibri
+from hmd_ego_pose_tpu.eval.evaluator import evaluate_model
+from hmd_ego_pose_tpu.eval.metrics import compute_average_precision
+from hmd_ego_pose_tpu.ops.geometry import np_axis_angle_to_matrix
+from hmd_ego_pose_tpu.ops.nms import Detections
+
+
+@pytest.fixture(scope="session")
+def synthetic_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("syn_colibri")
+    return generate_synthetic_colibri(str(root), num_frames=12, image_size=(480, 480))
+
+
+@pytest.fixture(scope="session")
+def train_dataset(synthetic_root):
+    return ColibriDataset(synthetic_root, fold=0, object_id=1, partition="train")
+
+
+def test_ply_roundtrip(synthetic_root):
+    pts = load_ply_vertices(os.path.join(synthetic_root, "models", "obj_01.ply"))
+    assert pts.shape == (600, 3)
+    assert np.isfinite(pts).all()
+
+
+def test_dataset_reader(train_dataset):
+    ds = train_dataset
+    assert len(ds) > 0
+    img = ds.load_image(0)
+    assert img.shape == (480, 480, 3) and img.dtype == np.uint8
+    anno = ds.load_annotations(0)
+    assert anno["bboxes"].shape == (1, 4)
+    assert anno["rotations"].shape == (1, 5)
+    assert anno["coords_3d"].shape == (1, 21, 3)
+    x1, y1, x2, y2 = anno["bboxes"][0]
+    assert 0 <= x1 < x2 < 480 and 0 <= y1 < y2 < 480
+    # rotation roundtrips to the written matrix
+    assert np.isfinite(anno["rotations"]).all()
+    assert ds.diameter > 0
+    tip = ds.load_drill_tip_offset(0)
+    assert tip.shape == (1, 4) and tip[0, 3] == 1.0
+    # 2-D centre projects inside the image for these poses
+    u, v = anno["translations_x_y_2D"][0]
+    assert 0 <= u <= 480 and 0 <= v <= 480
+
+
+def test_subsample_model_points_reference_rule():
+    pts = np.arange(3000, dtype=np.float64).reshape(1000, 3)
+    out = subsample_model_points(pts, 500)
+    assert out.shape == (500, 3)
+    np.testing.assert_array_equal(out, pts[::1][:500])  # step = (1000//500)-1 = 1
+    pts2 = np.arange(30, dtype=np.float64).reshape(10, 3)
+    out2 = subsample_model_points(pts2, 20)
+    assert out2.shape == (20, 3)
+    np.testing.assert_array_equal(out2[:10], pts2)
+    assert np.all(out2[10:] == 0)
+
+
+def test_warp_affine_identity_and_rotation():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, size=(32, 32, 3)).astype(np.uint8)
+    ident = np.array([[1.0, 0, 0], [0, 1.0, 0]])
+    out = warp_affine(img, ident, (32, 32))
+    np.testing.assert_array_equal(out, img)
+
+    # 90-degree rotation about centre, 4x: back to identity (nearest)
+    m = get_rotation_matrix_2d((15.5, 15.5), 90, 1.0)
+    cur = img
+    for _ in range(4):
+        cur = warp_affine(cur, m, (32, 32), "nearest")
+    np.testing.assert_array_equal(cur, img)
+
+
+def test_resize_bilinear_constant():
+    img = np.full((10, 20, 3), 77, np.uint8)
+    out = resize_bilinear(img, (5, 10))
+    assert out.shape == (5, 10, 3)
+    np.testing.assert_array_equal(out, 77)
+
+
+def test_preprocess_image_shapes_and_norm():
+    img = np.full((480, 360, 3), 128, np.uint8)
+    out, scale = preprocess_image(img, 256)
+    assert out.shape == (256, 256, 3)
+    assert scale == 256 / 480
+    # padded region is exactly zero
+    assert np.all(out[:, 192:] == 0)
+    # normalized value of 128/255 under ImageNet stats
+    expected = (128 / 255 - 0.485) / 0.229
+    np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-5)
+
+
+def test_augment_6dof_consistency(train_dataset):
+    """After the warp, the GT pose must still project onto the warped object."""
+    ds = train_dataset
+    img = ds.load_image(0)
+    mask = ds.load_mask(0)
+    anno = ds.load_annotations(0)
+    cam = ds.load_camera_matrix(0)
+
+    aug_img, aug_anno, ok = augment_6dof(img, mask, anno, cam, angle_deg=30.0, scale=1.1)
+    assert ok
+    assert aug_img.shape == img.shape
+    # the projected origin (translations_x_y_2D) must fall inside the new bbox
+    # grown by a small margin
+    u, v = aug_anno["translations_x_y_2D"][0]
+    x1, y1, x2, y2 = aug_anno["bboxes"][0]
+    margin = 40
+    assert x1 - margin <= u <= x2 + margin
+    assert y1 - margin <= v <= y2 + margin
+    # Tz scaled down by 1.1
+    np.testing.assert_allclose(
+        aug_anno["translations"][0, 2], anno["translations"][0, 2] / 1.1, rtol=1e-6
+    )
+
+
+def test_input_pipeline_batches(train_dataset):
+    cfg = Config(model=ModelConfig(image_size=128))
+    pipe = InputPipeline(
+        train_dataset, DataConfig(), cfg.model, batch_size=2, training=True, seed=0
+    )
+    batches = list(pipe.batches(oversample=1, num_workers=2))
+    assert len(batches) == len(train_dataset) // 2
+    b = batches[0]
+    assert b.images.shape == (2, 128, 128, 3)
+    assert b.camera_parameters.shape == (2, 6)
+    assert b.gt_boxes.shape == (2, 1, 4)
+    assert b.gt_transformation.shape == (2, 1, 8)
+    assert b.gt_valid.all()
+    # rotation targets are normalized to [-1, 1]
+    assert np.abs(np.asarray(b.gt_transformation[..., :3])).max() <= 1.0 + 1e-6
+
+
+class _OracleDetector:
+    """predict_fn that returns the ground truth as a single perfect detection."""
+
+    def __init__(self, dataset, image_size, max_detections):
+        self.ds = dataset
+        self.image_size = image_size
+        self.k = max_detections
+        self.calls = 0
+
+    def __call__(self, params, state, images, cam):
+        i = self.calls
+        self.calls += 1
+        anno = self.ds.load_annotations(i)
+        scale = float(cam[0, 5])
+        k = self.k
+        boxes = np.full((1, k, 4), -1, np.float32)
+        scores = np.full((1, k), -1, np.float32)
+        labels = np.full((1, k), -1, np.int32)
+        rot = np.full((1, k, 3), -1, np.float32)
+        trans = np.full((1, k, 3), -1, np.float32)
+        hand = np.full((1, k, 63), -1, np.float32)
+        boxes[0, 0] = anno["bboxes"][0] * scale
+        scores[0, 0] = 0.97
+        labels[0, 0] = 0
+        rot[0, 0] = anno["rotations"][0, :3] / math.pi
+        trans[0, 0] = anno["translations"][0]
+        hand[0, 0] = anno["coords_3d"][0].reshape(-1)
+        return Detections(
+            boxes=jnp.asarray(boxes), scores=jnp.asarray(scores), labels=jnp.asarray(labels),
+            rotation=jnp.asarray(rot), translation=jnp.asarray(trans), hand=jnp.asarray(hand),
+            num_valid=jnp.asarray([1]),
+        )
+
+
+def test_evaluator_with_oracle_detector(train_dataset):
+    cfg = Config(model=ModelConfig(image_size=256))
+    oracle = _OracleDetector(train_dataset, 256, cfg.eval.max_detections)
+    result = evaluate_model(train_dataset, oracle, None, None, cfg)
+
+    assert result.mean_ap == pytest.approx(1.0)
+    assert result.add_accuracy == pytest.approx(1.0)
+    assert result.add_s_accuracy == pytest.approx(1.0)
+    assert result.accuracy_5cm_5degree == pytest.approx(1.0)
+    assert result.accuracy_2d_projection == pytest.approx(1.0)
+    assert result.translation_error_mean_mm < 1e-3
+    assert result.rotation_error_mean_deg < 0.1
+    assert result.tip_error_mean_mm < 1e-2
+    assert result.hand_error_mean_mm < 0.1  # float32 roundtrip of ~500mm coords
+    assert result.mixed_point_distance_mean_mm < 1e-2
+
+
+def test_compute_average_precision_simple():
+    # one TP then one FP over 1 annotation
+    recall = np.array([1.0, 1.0])
+    precision = np.array([1.0, 0.5])
+    assert compute_average_precision(recall, precision) == pytest.approx(1.0)

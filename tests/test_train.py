@@ -1,0 +1,144 @@
+"""Train-step tests: single device convergence smoke + 8-device mesh sharding."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hmd_ego_pose_tpu.config import Config, ModelConfig, TrainConfig
+from hmd_ego_pose_tpu.models import hmd_ego_pose
+from hmd_ego_pose_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from hmd_ego_pose_tpu.train.plateau import ReduceLROnPlateau
+from hmd_ego_pose_tpu.train.state import get_learning_rate, set_learning_rate
+from hmd_ego_pose_tpu.train.step import Batch, make_train_step
+
+
+def tiny_config(batch_size=2, freeze_backbone=False):
+    return Config(
+        model=ModelConfig(phi=0, image_size=128),
+        train=TrainConfig(batch_size=batch_size, learning_rate=1e-3, freeze_backbone=freeze_backbone),
+    )
+
+
+def synthetic_batch(rng, batch_size, image_size=128, k=1):
+    images = rng.normal(size=(batch_size, image_size, image_size, 3)).astype(np.float32) * 0.2
+    cam = np.tile(
+        np.array([[570.0, 570.0, image_size / 2, image_size / 2, 1000.0, 1.0]], np.float32),
+        (batch_size, 1),
+    )
+    boxes = np.tile(np.array([[[30.0, 40.0, 90.0, 100.0]]], np.float32), (batch_size, k, 1))
+    labels = np.zeros((batch_size, k), np.int32)
+    transform = np.zeros((batch_size, k, 8), np.float32)
+    transform[..., :3] = 0.2
+    transform[..., 3:6] = [10.0, -5.0, 500.0]
+    coords = rng.normal(size=(batch_size, k, 63)).astype(np.float32) * 0.1
+    valid = np.ones((batch_size, k), bool)
+    return Batch(
+        images=jnp.asarray(images),
+        camera_parameters=jnp.asarray(cam),
+        gt_boxes=jnp.asarray(boxes),
+        gt_labels=jnp.asarray(labels),
+        gt_transformation=jnp.asarray(transform),
+        gt_coords_3d=jnp.asarray(coords),
+        gt_valid=jnp.asarray(valid),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_points():
+    rng = np.random.RandomState(0)
+    return (rng.normal(size=(1, 64, 3)) * 50).astype(np.float32)
+
+
+def test_train_step_decreases_loss(model_points):
+    cfg = tiny_config()
+    rng = np.random.RandomState(1)
+    params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg.model)
+
+    step = make_train_step(cfg, model_points)
+    state = step.init_state(params, bn_state)
+    batch = synthetic_batch(rng, cfg.train.batch_size)
+
+    losses, cls_losses = [], []
+    key = jax.random.PRNGKey(1)
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        state, metrics = step.jitted(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+        cls_losses.append(float(metrics["classification_loss"]))
+
+    assert int(state.step) == 5
+    assert all(np.isfinite(losses))
+    # the rotation term is noisy from random init; classification on a fixed
+    # batch must steadily improve
+    assert cls_losses[-1] < cls_losses[0], cls_losses
+
+
+def test_freeze_backbone_keeps_backbone_params(model_points):
+    cfg = tiny_config(freeze_backbone=True)
+    rng = np.random.RandomState(2)
+    params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg.model)
+    step = make_train_step(cfg, model_points)
+    state = step.init_state(params, bn_state)
+    batch = synthetic_batch(rng, cfg.train.batch_size)
+    new_state, _ = step.jitted(state, batch, jax.random.PRNGKey(3))
+
+    # backbone untouched, heads updated
+    before = jax.tree.leaves(params["backbone"])
+    after = jax.tree.leaves(new_state.params["backbone"])
+    assert all(np.array_equal(a, b) for a, b in zip(before, after))
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), params["classifier"], new_state.params["classifier"]
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_learning_rate_injection(model_points):
+    cfg = tiny_config(freeze_backbone=True)
+    params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg.model)
+    step = make_train_step(cfg, model_points)
+    state = step.init_state(params, bn_state)
+    assert get_learning_rate(state, cfg.train) == pytest.approx(1e-3)
+    state = set_learning_rate(state, cfg.train, 5e-4)
+    assert get_learning_rate(state, cfg.train) == pytest.approx(5e-4)
+
+
+def test_plateau_scheduler_matches_torch_semantics():
+    sched = ReduceLROnPlateau(1e-3, factor=0.5, patience=2, threshold=1e-4)
+    # improving metrics keep lr
+    assert sched.step(10.0) == 1e-3
+    assert sched.step(9.0) == 1e-3
+    # stagnate: patience 2 -> reduce on 3rd bad epoch
+    assert sched.step(9.0) == 1e-3
+    assert sched.step(9.0) == 1e-3
+    assert sched.step(9.0) == 5e-4
+    # min_lr floor
+    for _ in range(100):
+        sched.step(9.0)
+    assert sched.lr >= 1e-7
+
+
+def test_train_step_on_8_device_mesh(model_points):
+    """Full DP train step over the virtual 8-device CPU mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = tiny_config(batch_size=8)
+    mesh = make_mesh()
+    rng = np.random.RandomState(3)
+    params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg.model)
+
+    step = make_train_step(cfg, model_points)
+    state = step.init_state(params, bn_state)
+
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    state = jax.device_put(state, repl)
+    batch = jax.tree.map(lambda x: jax.device_put(x, bsh), synthetic_batch(rng, 8))
+
+    new_state, metrics = step.jitted(state, batch, jax.device_put(jax.random.PRNGKey(4), repl))
+    assert np.isfinite(float(metrics["loss"]))
+    # params remain replicated; batch stats were reduced globally
+    leaf = jax.tree.leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
