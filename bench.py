@@ -1,0 +1,68 @@
+"""Benchmark: single-frame p50 latency of the fused frame->pose program.
+
+Runs on whatever jax.default_backend() provides (the driver runs it on one
+real TPU chip).  The measured program is the full deployed path the reference
+runs across ONNX Runtime + OpenCV + TensorFlow NMS
+(unity-sandbox/WebRTCNetCoreSandbox/Program.cs:204-276): EfficientPose phi-0
+forward at 256x256 + anchor decode + NMS + top-K, one XLA program, bfloat16
+conv stack.
+
+Baseline: ~30 ms workstation-GPU single-frame figure from the paper
+(BASELINE.md north star; reference CUDA EP measures ~40 ms, TensorRT ~16 ms).
+``vs_baseline`` reports the speedup factor 30ms / p50 (>1 means faster than
+baseline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hmd_ego_pose_tpu.config import ModelConfig
+    from hmd_ego_pose_tpu.models import hmd_ego_pose
+
+    config = ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16")
+    params, state = hmd_ego_pose.init(jax.random.PRNGKey(0), config)
+
+    predict = hmd_ego_pose.make_predict_fn(config, score_threshold=0.5, max_detections=100)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.normal(size=(1, 256, 256, 3)).astype(np.float32) * 0.3)
+    cam = jnp.asarray(np.array([[572.4114, 573.57043, 128.0, 128.0, 1000.0, 1.0]], np.float32))
+
+    # compile + warmup
+    det = predict(params, state, images, cam)
+    jax.block_until_ready(det)
+    for _ in range(3):
+        jax.block_until_ready(predict(params, state, images, cam))
+
+    # timed runs
+    times = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        jax.block_until_ready(predict(params, state, images, cam))
+        times.append((time.perf_counter() - t0) * 1000.0)
+
+    p50 = float(np.percentile(times, 50))
+    baseline_ms = 30.0
+    print(
+        json.dumps(
+            {
+                "metric": "single_frame_p50_latency_256px_phi0",
+                "value": round(p50, 3),
+                "unit": "ms",
+                "vs_baseline": round(baseline_ms / p50, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

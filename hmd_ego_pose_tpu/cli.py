@@ -1,0 +1,239 @@
+"""Command-line interface.
+
+Replaces the reference's four entry scripts — main.py (train), evaluate.py,
+debug.py (dataset viewer), scratchpad.py (export sanity) — with one CLI:
+
+    python -m hmd_ego_pose_tpu.cli train --dataset-path ... --fold 0
+    python -m hmd_ego_pose_tpu.cli evaluate --ckpt ... --partition test
+    python -m hmd_ego_pose_tpu.cli serve --ckpt ... --port 18734
+    python -m hmd_ego_pose_tpu.cli debug --dataset-path ... --out-dir viz/
+    python -m hmd_ego_pose_tpu.cli export --ckpt ... --out-dir artifacts/
+    python -m hmd_ego_pose_tpu.cli make-synthetic --out-dir /tmp/syn
+
+Flag names/defaults follow the reference argparse surface
+(pytorch-sandbox/main.py:28-44, evaluate.py:23-34).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--dataset", default="syn_colibri", choices=["syn_colibri", "real_colibri"])
+    p.add_argument("--dataset-path", required=True, help="root with data/ and models/")
+    p.add_argument("--fold", type=int, default=0, help="cross-validation fold [0..4]")
+    p.add_argument("--object-id", type=int, default=1)
+    p.add_argument("--iter", type=int, default=0, help="iterative refinement steps")
+    p.add_argument("--img-size", type=int, default=256)
+    p.add_argument("--phi", type=int, default=0, help="EfficientDet compound coefficient")
+    p.add_argument("--batch-size", type=int, default=16)
+
+
+def _make_config(args, **train_overrides):
+    from hmd_ego_pose_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+
+    return Config(
+        model=ModelConfig(phi=args.phi, image_size=args.img_size, iter_steps=args.iter),
+        train=TrainConfig(batch_size=args.batch_size, **train_overrides),
+        data=DataConfig(
+            dataset=args.dataset, dataset_path=args.dataset_path,
+            fold=args.fold, object_id=args.object_id, image_size=args.img_size,
+        ),
+    )
+
+
+def cmd_train(args):
+    import jax
+
+    from hmd_ego_pose_tpu.config import TrainConfig
+    from hmd_ego_pose_tpu.data.colibri import ColibriDataset
+    from hmd_ego_pose_tpu.models import hmd_ego_pose
+    from hmd_ego_pose_tpu.models.weights import convert_torch_state_dict
+    from hmd_ego_pose_tpu.parallel.mesh import make_mesh
+    from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
+    from hmd_ego_pose_tpu.train.trainer import Trainer
+
+    cfg = _make_config(
+        args,
+        learning_rate=args.lr,
+        epochs=args.epo,
+        fine_tune=args.fine_tune,
+        freeze_backbone=args.freeze_backbone,
+    )
+    train_ds = ColibriDataset(args.dataset_path, args.fold, args.object_id, "train")
+    val_ds = ColibriDataset(args.dataset_path, args.fold, args.object_id, "val")
+
+    params = bn_state = None
+    if args.ckpt:
+        params, bn_state, meta = restore_checkpoint(args.ckpt)
+        print(f"restored checkpoint {args.ckpt}: {meta.get('metric')}")
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    trainer = Trainer(cfg, train_ds, val_ds, mesh=mesh, params=params, bn_state=bn_state)
+    best = trainer.fit()
+    print(f"best checkpoint: {best}")
+
+
+def cmd_evaluate(args):
+    from hmd_ego_pose_tpu.data.colibri import ColibriDataset
+    from hmd_ego_pose_tpu.models import hmd_ego_pose
+    from hmd_ego_pose_tpu.eval.evaluator import evaluate_model
+    from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
+    from hmd_ego_pose_tpu.train.step import make_eval_forward
+
+    cfg = _make_config(args)
+    ds = ColibriDataset(args.dataset_path, args.fold, args.object_id, args.partition)
+    params, bn_state, _ = restore_checkpoint(args.ckpt)
+    predict_fn = make_eval_forward(cfg, score_threshold=args.score_threshold)
+    result = evaluate_model(ds, predict_fn, params, bn_state, cfg)
+    print(json.dumps(result.scalars(), indent=2))
+
+
+def cmd_serve(args):
+    import jax
+
+    from hmd_ego_pose_tpu.config import ModelConfig, ServingConfig
+    from hmd_ego_pose_tpu.models import hmd_ego_pose
+    from hmd_ego_pose_tpu.serving.engine import InferenceEngine
+    from hmd_ego_pose_tpu.serving.server import PoseServer
+    from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
+
+    model_cfg = ModelConfig(phi=args.phi, image_size=args.img_size, compute_dtype="bfloat16")
+    if args.ckpt:
+        params, bn_state, _ = restore_checkpoint(args.ckpt)
+    else:
+        print("WARNING: serving randomly initialized weights (no --ckpt)")
+        params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), model_cfg)
+
+    engine = InferenceEngine(
+        params, bn_state, model_cfg,
+        ServingConfig(max_batch_size=args.max_batch_size, score_threshold=args.score_threshold),
+        frame_shape=(args.frame_size, args.frame_size),
+    )
+    engine.warmup()
+    server = PoseServer(engine, host=args.host, port=args.port)
+    server.start()
+    print(f"pose server listening on {server.address}")
+    try:
+        import time
+
+        while True:
+            time.sleep(30)
+            print(json.dumps(engine.stats()))
+    except KeyboardInterrupt:
+        server.stop()
+
+
+def cmd_debug(args):
+    """Render GT overlays for dataset sanity checking (reference debug.py)."""
+    from hmd_ego_pose_tpu.data.colibri import ColibriDataset
+    from hmd_ego_pose_tpu.data.image import imwrite
+    from hmd_ego_pose_tpu.utils.visualization import render_frame
+
+    ds = ColibriDataset(args.dataset_path, args.fold, args.object_id, args.partition)
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = min(len(ds), args.num_images)
+    for i in range(n):
+        image = ds.load_image(i)
+        anno = ds.load_annotations(i)
+        cam = ds.load_camera_matrix(i)
+        out = render_frame(
+            image, cam,
+            model_info=ds.model_info,
+            gt_pose=(anno["rotations"][0, :3], anno["translations"][0]),
+            gt_box=anno["bboxes"][0],
+            hand_3d=anno["coords_3d"][0],
+        )
+        imwrite(os.path.join(args.out_dir, f"debug_{i:06d}.png"), out)
+    print(f"wrote {n} overlays to {args.out_dir}")
+
+
+def cmd_export(args):
+    import jax
+
+    from hmd_ego_pose_tpu.config import ModelConfig
+    from hmd_ego_pose_tpu.export.stablehlo import export_inference, load_and_verify
+    from hmd_ego_pose_tpu.models import hmd_ego_pose
+    from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
+
+    cfg = ModelConfig(phi=args.phi, image_size=args.img_size)
+    if args.ckpt:
+        params, bn_state, _ = restore_checkpoint(args.ckpt)
+    else:
+        params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+    out = export_inference(params, bn_state, cfg, args.out_dir)
+    load_and_verify(args.out_dir)
+    print(f"exported + verified StableHLO artifact in {out}")
+
+
+def cmd_make_synthetic(args):
+    from hmd_ego_pose_tpu.data.synthetic import generate_synthetic_colibri
+
+    path = generate_synthetic_colibri(
+        args.out_dir, num_frames=args.num_frames, image_size=(args.frame_size, args.frame_size)
+    )
+    print(f"synthetic colibri dataset at {path}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="hmd_ego_pose_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="train a model (reference main.py)")
+    _add_common(p)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--epo", type=int, default=50)
+    p.add_argument("--fine-tune", action="store_true", help="SGD+Nesterov instead of Adam")
+    p.add_argument("--freeze-backbone", action="store_true", default=True)
+    p.add_argument("--no-freeze-backbone", dest="freeze_backbone", action="store_false")
+    p.add_argument("--ckpt", default=None)
+    p.set_defaults(func=cmd_train)
+
+    p = sub.add_parser("evaluate", help="evaluate a checkpoint (reference evaluate.py)")
+    _add_common(p)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--partition", default="test", choices=["train", "val", "test"])
+    p.add_argument("--score-threshold", type=float, default=0.5)
+    p.set_defaults(func=cmd_evaluate)
+
+    p = sub.add_parser("serve", help="pose-streaming server (reference WebRTC sandbox)")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--phi", type=int, default=0)
+    p.add_argument("--img-size", type=int, default=256)
+    p.add_argument("--frame-size", type=int, default=480)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=18734)
+    p.add_argument("--max-batch-size", type=int, default=16)
+    p.add_argument("--score-threshold", type=float, default=0.5)
+    p.set_defaults(func=cmd_serve)
+
+    p = sub.add_parser("debug", help="dataset/annotation viewer (reference debug.py)")
+    _add_common(p)
+    p.add_argument("--partition", default="train")
+    p.add_argument("--out-dir", default="debug_viz")
+    p.add_argument("--num-images", type=int, default=10)
+    p.set_defaults(func=cmd_debug)
+
+    p = sub.add_parser("export", help="StableHLO export + verify (reference ONNX export)")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--phi", type=int, default=0)
+    p.add_argument("--img-size", type=int, default=256)
+    p.add_argument("--out-dir", default="artifacts")
+    p.set_defaults(func=cmd_export)
+
+    p = sub.add_parser("make-synthetic", help="generate a synthetic colibri dataset")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--num-frames", type=int, default=50)
+    p.add_argument("--frame-size", type=int, default=480)
+    p.set_defaults(func=cmd_make_synthetic)
+
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

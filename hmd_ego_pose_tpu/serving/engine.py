@@ -1,0 +1,225 @@
+"""Batched streaming inference engine.
+
+Replaces the reference's per-frame ONNX Runtime + OpenCV + NMS host pipeline
+(unity-sandbox/WebRTCNetCoreSandbox/Program.cs:128-297) with a TPU-resident
+path:
+
+* raw uint8 frames are shipped to the device; resize + ImageNet normalization
+  + pad fuse into the same XLA program as the forward pass, decode, and NMS
+  (the reference spends ~6-8 ms/frame on host preprocessing alone,
+  Program.cs:24);
+* requests from any number of clients are batched adaptively: the dispatcher
+  drains the queue, pads to the next compiled batch size (powers of two up to
+  ``max_batch_size``), and runs one program for all of them;
+* per-stage latency is recorded (queue wait / device time / total) for the
+  observability story (SURVEY.md §5: the reference has only ad-hoc Stopwatch
+  prints).
+
+Output contract preserved: 6-float pose packet per frame — axis-angle
+radians (net output x pi) + translation meters (net output mm / 1000)
+(Program.cs:279-297).
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from hmd_ego_pose_tpu.config import ModelConfig, ServingConfig
+
+
+class _Request:
+    __slots__ = ("frame", "camera", "future", "t_enqueue")
+
+    def __init__(self, frame, camera):
+        self.frame = frame
+        self.camera = camera
+        self.future: Future = Future()
+        self.t_enqueue = time.perf_counter()
+
+
+class LatencyStats:
+    """Streaming percentile tracker (fixed-size reservoir)."""
+
+    def __init__(self, capacity: int = 2048):
+        self.capacity = capacity
+        self.samples: List[float] = []
+        self.count = 0
+        self._lock = threading.Lock()
+
+    def record(self, value_ms: float):
+        with self._lock:
+            self.count += 1
+            if len(self.samples) < self.capacity:
+                self.samples.append(value_ms)
+            else:
+                # reservoir sampling keeps percentiles unbiased
+                j = np.random.randint(0, self.count)
+                if j < self.capacity:
+                    self.samples[j] = value_ms
+
+    def percentile(self, p: float) -> float:
+        with self._lock:
+            if not self.samples:
+                return float("nan")
+            return float(np.percentile(self.samples, p))
+
+    def summary(self) -> Dict[str, float]:
+        return {
+            "p50_ms": self.percentile(50),
+            "p90_ms": self.percentile(90),
+            "p99_ms": self.percentile(99),
+            "count": self.count,
+        }
+
+
+class InferenceEngine:
+    """Multi-client adaptive-batching pose inference on one (or more) chips."""
+
+    def __init__(
+        self,
+        params,
+        bn_state,
+        model_config: ModelConfig,
+        serving_config: ServingConfig = ServingConfig(),
+        frame_shape: Tuple[int, int] = (480, 480),
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from hmd_ego_pose_tpu.models import hmd_ego_pose
+        from hmd_ego_pose_tpu.ops.preprocess import preprocess_uint8_batch
+
+        self.model_config = model_config
+        self.cfg = serving_config
+        self.frame_shape = frame_shape
+        self.params = params
+        self.bn_state = bn_state
+
+        self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=serving_config.queue_depth)
+        self._stop = threading.Event()
+        self.queue_stats = LatencyStats()
+        self.device_stats = LatencyStats()
+        self.total_stats = LatencyStats()
+
+        # one compiled program per batch size (powers of two)
+        sizes = []
+        b = 1
+        while b <= serving_config.max_batch_size:
+            sizes.append(b)
+            b *= 2
+        self.batch_sizes = sizes
+
+        cfgm = model_config
+
+        def predict_raw(params, state, frames_u8, cameras):
+            images = preprocess_uint8_batch(frames_u8, cfgm.image_size)
+            return hmd_ego_pose.predict(
+                params, state, images, cameras, cfgm,
+                score_threshold=serving_config.score_threshold,
+                iou_threshold=0.5,
+                max_detections=1,  # streaming contract: best pose only
+            )
+
+        self._predict = jax.jit(predict_raw)
+        self._jnp = jnp
+        self._dispatcher: Optional[threading.Thread] = None
+
+    # -- public API -----------------------------------------------------------------
+    def start(self):
+        self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._dispatcher.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._dispatcher is not None:
+            self._dispatcher.join(timeout=5)
+
+    def warmup(self):
+        """Compile every batch-size variant before serving traffic."""
+        h, w = self.frame_shape
+        for b in self.batch_sizes:
+            frames = np.zeros((b, h, w, 3), np.uint8)
+            cams = np.tile(self._default_camera()[None], (b, 1))
+            self._run_device(frames, cams)
+
+    def submit(self, frame: np.ndarray, camera: Optional[np.ndarray] = None) -> Future:
+        """Enqueue one RGB8 frame; resolves to (rotation_rad, translation_m) or None."""
+        if camera is None:
+            camera = self._default_camera()
+        req = _Request(frame, camera)
+        self._queue.put(req)
+        return req.future
+
+    def infer_blocking(self, frame: np.ndarray, camera: Optional[np.ndarray] = None):
+        return self.submit(frame, camera).result()
+
+    def stats(self) -> Dict[str, Dict[str, float]]:
+        return {
+            "queue": self.queue_stats.summary(),
+            "device": self.device_stats.summary(),
+            "total": self.total_stats.summary(),
+        }
+
+    # -- internals ------------------------------------------------------------------
+    def _default_camera(self) -> np.ndarray:
+        h, w = self.frame_shape
+        scale = self.model_config.image_size / max(h, w)
+        # desktop default intrinsics as shipped in the reference's
+        # onnx-models/camera_params.txt (480/480/128/128 at 256 net input)
+        return np.array([480.0, 480.0, w / 2, h / 2, 1000.0, scale], np.float32)
+
+    def _run_device(self, frames_u8: np.ndarray, cameras: np.ndarray):
+        import jax
+
+        det = self._predict(
+            self.params, self.bn_state, self._jnp.asarray(frames_u8), self._jnp.asarray(cameras)
+        )
+        return jax.device_get(det)
+
+    def _dispatch_loop(self):
+        h, w = self.frame_shape
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            reqs = [first]
+            while len(reqs) < self.cfg.max_batch_size:
+                try:
+                    reqs.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+
+            t_start = time.perf_counter()
+            for r in reqs:
+                self.queue_stats.record((t_start - r.t_enqueue) * 1000)
+
+            b = next(s for s in self.batch_sizes if s >= len(reqs))
+            frames = np.zeros((b, h, w, 3), np.uint8)
+            cams = np.zeros((b, 6), np.float32)
+            for i, r in enumerate(reqs):
+                frames[i] = r.frame
+                cams[i] = r.camera
+            for i in range(len(reqs), b):
+                cams[i] = reqs[0].camera  # pad rows with valid intrinsics
+
+            det = self._run_device(frames, cams)
+            t_done = time.perf_counter()
+            self.device_stats.record((t_done - t_start) * 1000)
+
+            for i, r in enumerate(reqs):
+                if int(det.num_valid[i]) > 0:
+                    rotation = np.asarray(det.rotation[i, 0]) * math.pi
+                    translation = np.asarray(det.translation[i, 0]) / 1000.0
+                    r.future.set_result((rotation, translation))
+                else:
+                    r.future.set_result(None)
+                self.total_stats.record((t_done - r.t_enqueue) * 1000)

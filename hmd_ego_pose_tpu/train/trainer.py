@@ -1,0 +1,162 @@
+"""The training orchestrator: epoch loop, per-epoch eval, checkpointing, LR.
+
+Functional equivalent of the reference loop (pytorch-sandbox/train.py:88-342):
+10x-oversampled epochs, full validation each epoch via the metrics engine,
+ReduceLROnPlateau stepped on MixedAveragePointDistanceMean, best-metric
+checkpointing with metric-encoded names, scalar logging.
+
+TPU specifics: batches are sharded over the data axis of the mesh before
+each step (params replicated); the train step is one donated jit call; the
+input pipeline prefetches on background threads so the device never idles on
+the host.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from hmd_ego_pose_tpu.config import Config
+from hmd_ego_pose_tpu.data.pipeline import InputPipeline
+from hmd_ego_pose_tpu.eval.evaluator import EvalResult, evaluate_model
+from hmd_ego_pose_tpu.models import hmd_ego_pose
+from hmd_ego_pose_tpu.train.checkpoint import checkpoint_name, save_checkpoint
+from hmd_ego_pose_tpu.train.plateau import ReduceLROnPlateau
+from hmd_ego_pose_tpu.train.state import set_learning_rate
+from hmd_ego_pose_tpu.train.step import make_eval_forward, make_train_step
+from hmd_ego_pose_tpu.utils.logging import MetricLogger
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Config,
+        train_dataset,
+        val_dataset,
+        mesh=None,
+        logger: Optional[MetricLogger] = None,
+        params=None,
+        bn_state=None,
+    ):
+        self.config = config
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.mesh = mesh
+        self.logger = logger or MetricLogger()
+
+        if params is None:
+            params, bn_state = hmd_ego_pose.init(
+                jax.random.PRNGKey(config.train.seed), config.model
+            )
+        model_points = train_dataset.model_points_for_loss(config.train.loss.num_model_points)
+
+        self.step_fn = make_train_step(config, model_points)
+        self.state = self.step_fn.init_state(params, bn_state)
+        self.predict_fn = make_eval_forward(config)
+        self.scheduler = ReduceLROnPlateau(
+            config.train.learning_rate,
+            factor=config.train.plateau_factor,
+            patience=config.train.plateau_patience,
+            threshold=config.train.plateau_threshold,
+            min_lr=config.train.min_learning_rate,
+        )
+
+        self.pipeline = InputPipeline(
+            train_dataset,
+            config.data,
+            config.model,
+            batch_size=config.train.batch_size,
+            training=True,
+            seed=config.train.seed,
+        )
+
+        if mesh is not None:
+            from hmd_ego_pose_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+            self._batch_sharding = batch_sharding(mesh)
+            self.state = jax.device_put(self.state, replicated_sharding(mesh))
+        else:
+            self._batch_sharding = None
+
+        self.best_metric = float("inf")
+        self.best_checkpoint: Optional[str] = None
+
+    def _put(self, batch):
+        if self._batch_sharding is None:
+            return batch
+        return jax.tree.map(lambda x: jax.device_put(x, self._batch_sharding), batch)
+
+    def train_epoch(self, epoch: int, rng_key) -> Dict[str, float]:
+        t0 = time.time()
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in self.pipeline.batches(oversample=self.config.train.oversample):
+            rng_key, sub = jax.random.split(rng_key)
+            self.state, metrics = self.step_fn.jitted(self.state, self._put(batch), sub)
+            n += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        means = {k: v / max(n, 1) for k, v in sums.items()}
+        means["epoch_seconds"] = time.time() - t0
+        means["steps"] = n
+        return means
+
+    def validate(self, max_images: Optional[int] = None) -> EvalResult:
+        return evaluate_model(
+            self.val_dataset,
+            self.predict_fn,
+            self.state.params,
+            self.state.bn_state,
+            self.config,
+            max_eval_images=max_images,
+        )
+
+    def fit(
+        self,
+        epochs: Optional[int] = None,
+        max_eval_images: Optional[int] = None,
+        on_epoch_end: Optional[Callable] = None,
+    ):
+        epochs = epochs if epochs is not None else self.config.train.epochs
+        key = jax.random.PRNGKey(self.config.train.seed + 1)
+        for epoch in range(epochs):
+            key, sub = jax.random.split(key)
+            train_metrics = self.train_epoch(epoch, sub)
+            result = self.validate(max_images=max_eval_images)
+
+            # plateau scheduler on the mixed point-distance mean (train.py:273)
+            metric = result.mixed_point_distance_mean_mm
+            new_lr = self.scheduler.step(metric)
+            self.state = set_learning_rate(self.state, self.config.train, new_lr)
+
+            self.logger.log_scalars(epoch, {"lr": new_lr, **train_metrics})
+            self.logger.log_scalars(epoch, {f"val/{k}": v for k, v in result.scalars().items()})
+
+            if metric < self.best_metric:
+                self.best_metric = metric
+                name = checkpoint_name(
+                    self.config.data.dataset,
+                    self.config.data.fold,
+                    self.config.model.iter_steps,
+                    metric,
+                    epoch,
+                )
+                self.best_checkpoint = save_checkpoint(
+                    self.config.train.checkpoint_dir,
+                    name,
+                    self.state.params,
+                    self.state.bn_state,
+                    metadata={
+                        "epoch": epoch,
+                        "metric": metric,
+                        "config": repr(self.config),
+                        "metrics": result.scalars(),
+                    },
+                )
+
+            if on_epoch_end is not None:
+                on_epoch_end(epoch, train_metrics, result)
+        return self.best_checkpoint

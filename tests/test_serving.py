@@ -1,0 +1,139 @@
+"""Serving-path tests: protocol, native frame ingest, engine, TCP server."""
+
+import math
+import threading
+
+import numpy as np
+import pytest
+import jax
+
+from hmd_ego_pose_tpu.config import ModelConfig, ServingConfig
+from hmd_ego_pose_tpu.models import hmd_ego_pose
+from hmd_ego_pose_tpu.serving import protocol
+from hmd_ego_pose_tpu.serving.engine import InferenceEngine, LatencyStats
+from hmd_ego_pose_tpu.serving.frameio import FrameRing, get_lib, i420_to_rgb
+from hmd_ego_pose_tpu.serving.server import PoseClient, PoseServer
+
+
+def test_pose_packet_roundtrip():
+    rot = np.array([0.1, -0.2, 0.3], np.float32)
+    trans = np.array([0.05, -0.01, 0.6], np.float32)
+    pkt = protocol.encode_pose_packet(rot, trans)
+    assert len(pkt) == protocol.POSE_PACKET_BYTES == 24
+    r2, t2 = protocol.decode_pose_packet(pkt)
+    np.testing.assert_allclose(r2, rot)
+    np.testing.assert_allclose(t2, trans)
+
+
+def test_frame_message_roundtrip():
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 255, size=(48, 64, 3)).astype(np.uint8)
+    msg = protocol.encode_frame_message(frame)
+    out = protocol.decode_frame_message(msg)
+    np.testing.assert_array_equal(out, frame)
+
+
+def test_native_library_builds():
+    lib = get_lib()
+    assert lib is not None, "native frameio library failed to build"
+
+
+def test_i420_conversion_gray():
+    # Y=128, U=V=128 -> mid gray (BT.601: (298*(128-16)+128)>>8 = 130)
+    h = w = 16
+    payload = np.concatenate(
+        [np.full(h * w, 128, np.uint8), np.full(h * w // 2, 128, np.uint8)]
+    )
+    rgb = i420_to_rgb(payload, h, w)
+    assert rgb.shape == (16, 16, 3)
+    assert np.all(np.abs(rgb.astype(int) - 130) <= 1)
+
+
+def test_i420_native_matches_numpy_fallback():
+    rng = np.random.RandomState(1)
+    h = w = 32
+    payload = rng.randint(0, 255, size=(h * w * 3 // 2,)).astype(np.uint8)
+    native = i420_to_rgb(payload, h, w)
+
+    # force the numpy path
+    import hmd_ego_pose_tpu.serving.frameio as fio
+
+    lib = fio._lib
+    fio._lib, fio._build_failed = None, True
+    try:
+        fallback = i420_to_rgb(payload, h, w)
+    finally:
+        fio._lib, fio._build_failed = lib, False
+    np.testing.assert_allclose(native.astype(int), fallback.astype(int), atol=1)
+
+
+def test_frame_ring():
+    ring = FrameRing(frame_bytes=12, capacity=4)
+    frames = [np.full((12,), i, np.uint8) for i in range(6)]
+    results = [ring.push(f) for f in frames]
+    # two oldest dropped
+    assert results == [True, True, True, True, False, False]
+    assert len(ring) == 4
+    out = ring.pop(10)
+    assert out.shape == (4, 12)
+    np.testing.assert_array_equal(out[:, 0], [2, 3, 4, 5])
+    assert len(ring) == 0
+
+
+def test_latency_stats():
+    s = LatencyStats()
+    for v in range(100):
+        s.record(float(v))
+    assert 45 <= s.percentile(50) <= 55
+    assert s.summary()["count"] == 100
+
+
+@pytest.fixture(scope="module")
+def small_engine():
+    cfg = ModelConfig(phi=0, image_size=128)
+    params, state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+    engine = InferenceEngine(
+        params, state, cfg,
+        ServingConfig(max_batch_size=4, score_threshold=0.0),
+        frame_shape=(96, 96),
+    )
+    engine.start()
+    yield engine
+    engine.stop()
+
+
+def test_engine_single_and_batched(small_engine):
+    rng = np.random.RandomState(2)
+    frame = rng.randint(0, 255, size=(96, 96, 3)).astype(np.uint8)
+
+    result = small_engine.infer_blocking(frame)
+    # score_threshold 0: random-weights model always yields some detection
+    assert result is not None
+    rotation, translation = result
+    assert rotation.shape == (3,) and translation.shape == (3,)
+
+    # concurrent clients exercise adaptive batching
+    futures = [small_engine.submit(frame) for _ in range(7)]
+    results = [f.result(timeout=120) for f in futures]
+    assert all(r is not None for r in results)
+    stats = small_engine.stats()
+    assert stats["total"]["count"] >= 8
+
+
+def test_tcp_server_end_to_end(small_engine):
+    server = PoseServer(small_engine, port=0)
+    server.start()
+    try:
+        host, port = server.address
+        client = PoseClient(host, port)
+        rng = np.random.RandomState(3)
+        frame = rng.randint(0, 255, size=(96, 96, 3)).astype(np.uint8)
+        for _ in range(3):
+            result = client.infer(frame)
+            assert result is not None
+            rotation, translation = result
+            assert np.isfinite(rotation).all() and np.isfinite(translation).all()
+        client.close()
+    finally:
+        server._server.shutdown()
+        server._server.server_close()

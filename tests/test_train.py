@@ -83,14 +83,19 @@ def test_freeze_backbone_keeps_backbone_params(model_points):
     step = make_train_step(cfg, model_points)
     state = step.init_state(params, bn_state)
     batch = synthetic_batch(rng, cfg.train.batch_size)
+    # host-side copies: step.jitted donates the state's buffers
+    backbone_before = jax.tree.map(lambda x: np.array(x, copy=True), params["backbone"])
+    classifier_before = jax.tree.map(lambda x: np.array(x, copy=True), params["classifier"])
     new_state, _ = step.jitted(state, batch, jax.random.PRNGKey(3))
 
     # backbone untouched, heads updated
-    before = jax.tree.leaves(params["backbone"])
-    after = jax.tree.leaves(new_state.params["backbone"])
+    before = jax.tree.leaves(backbone_before)
+    after = jax.tree.leaves(jax.device_get(new_state.params["backbone"]))
     assert all(np.array_equal(a, b) for a, b in zip(before, after))
     moved = jax.tree.map(
-        lambda a, b: float(jnp.max(jnp.abs(a - b))), params["classifier"], new_state.params["classifier"]
+        lambda a, b: float(np.max(np.abs(a - np.asarray(b)))),
+        classifier_before,
+        jax.device_get(new_state.params["classifier"]),
     )
     assert max(jax.tree.leaves(moved)) > 0
 
