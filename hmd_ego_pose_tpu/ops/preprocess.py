@@ -13,8 +13,33 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _resize_bilinear_cv(x, rh: int, rw: int):
+    """cv2 INTER_LINEAR-convention bilinear resize (half-pixel centres, NO
+    antialiasing) of NHWC batches.  jax.image.resize antialiases when
+    downsampling, which breaks parity with the reference's cv2 preprocessing
+    (generators/colibri_common.py:640); this gather+lerp matches it exactly.
+    All indices/weights are compile-time constants."""
+    b, h, w, c = x.shape
+    ys = (np.arange(rh) + 0.5) * h / rh - 0.5
+    xs = (np.arange(rw) + 0.5) * w / rw - 0.5
+    y0 = np.floor(ys).astype(np.int32)
+    x0 = np.floor(xs).astype(np.int32)
+    fy = jnp.asarray((ys - y0).astype(np.float32))[None, :, None, None]
+    fx = jnp.asarray((xs - x0).astype(np.float32))[None, None, :, None]
+    y0c = np.clip(y0, 0, h - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+
+    top = x[:, y0c][:, :, x0c] * (1 - fx) + x[:, y0c][:, :, x1c] * fx
+    bot = x[:, y1c][:, :, x0c] * (1 - fx) + x[:, y1c][:, :, x1c] * fx
+    return top * (1 - fy) + bot * fy
 
 
 def preprocess_uint8_batch(frames, target_size: int):
@@ -32,9 +57,12 @@ def preprocess_uint8_batch(frames, target_size: int):
         scale = target_size / w
         rh, rw = int(h * scale), target_size
 
-    x = frames.astype(jnp.float32) / 255.0
+    x = frames.astype(jnp.float32)
     if (rh, rw) != (h, w):
-        x = jax.image.resize(x, (b, rh, rw, c), method="linear")
+        # resize in the 0..255 domain and round, replicating cv2's uint8
+        # output quantization before the /255 (colibri_common.py:640-643)
+        x = jnp.round(_resize_bilinear_cv(x, rh, rw))
+    x = x / 255.0
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
     x = (x - mean) / std
