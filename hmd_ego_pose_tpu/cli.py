@@ -89,7 +89,9 @@ def cmd_evaluate(args):
     ds = ColibriDataset(args.dataset_path, args.fold, args.object_id, args.partition)
     params, bn_state, _ = restore_checkpoint(args.ckpt)
     predict_fn = make_eval_forward(cfg, score_threshold=args.score_threshold)
-    result = evaluate_model(ds, predict_fn, params, bn_state, cfg)
+    result = evaluate_model(
+        ds, predict_fn, params, bn_state, cfg, save_path=args.save_images_path
+    )
     print(json.dumps(result.scalars(), indent=2))
 
 
@@ -198,6 +200,8 @@ def main(argv=None):
     p.add_argument("--ckpt", required=True)
     p.add_argument("--partition", default="test", choices=["train", "val", "test"])
     p.add_argument("--score-threshold", type=float, default=0.5)
+    p.add_argument("--save-images-path", default=None,
+                   help="write detection overlays + samplevis panels here")
     p.set_defaults(func=cmd_evaluate)
 
     p = sub.add_parser("serve", help="pose-streaming server (reference WebRTC sandbox)")

@@ -70,6 +70,7 @@ def evaluate_model(
     config: Config,
     score_threshold: Optional[float] = None,
     max_eval_images: Optional[int] = None,
+    save_path: Optional[str] = None,
 ) -> EvalResult:
     """Evaluate ``predict_fn`` over every image of ``dataset``.
 
@@ -77,8 +78,16 @@ def evaluate_model(
         dataset: a ColibriDataset (or compatible protocol).
         predict_fn: jitted (params, state, images[1HWC], cam[1,6]) -> Detections.
         score_threshold: post-hoc filter (defaults to config.eval).
+        save_path: when given, write detection overlays + samplevis panels per
+            image (reference evaluate.py --is_save_images,
+            eval/common.py:452-600).
     """
     import jax.numpy as jnp
+
+    if save_path is not None:
+        import os
+
+        os.makedirs(save_path, exist_ok=True)
 
     ecfg = config.eval
     thr = ecfg.score_threshold if score_threshold is None else score_threshold
@@ -154,6 +163,33 @@ def evaluate_model(
                     model_points, r_gt, t_gt, r_pred, t_pred, cam_k, ecfg.pixel_threshold
                 )
                 hand_err = M.hand_mpjpe_mm(anno["coords_3d"][j], hands[d])
+
+                if save_path is not None:
+                    import os
+
+                    from hmd_ego_pose_tpu.data.image import imwrite
+                    from hmd_ego_pose_tpu.eval.metrics import transform_points
+                    from hmd_ego_pose_tpu.utils.samplevis import draw_samplevis
+                    from hmd_ego_pose_tpu.utils.visualization import render_frame
+
+                    overlay = render_frame(
+                        raw, cam_k,
+                        model_info=getattr(dataset, "model_info", None),
+                        gt_pose=(anno["rotations"][j, :3], t_gt),
+                        pred_pose=(rotations[d], t_pred),
+                        gt_box=gt_boxes[j],
+                        pred_box=boxes[d],
+                        hand_3d=hands[d],
+                    )
+                    imwrite(os.path.join(save_path, f"det_{i:06d}.png"), overlay)
+                    draw_samplevis(
+                        raw, cam_k,
+                        gt_hand=anno["coords_3d"][j],
+                        pred_hand=hands[d].reshape(21, 3),
+                        gt_points=transform_points(model_points[::10], r_gt, t_gt),
+                        pred_points=transform_points(model_points[::10], r_pred, t_pred),
+                        save_path=os.path.join(save_path, f"samplevis_{i:06d}.png"),
+                    )
 
                 tp_add.append(ok_add)
                 tp_add_s.append(ok_add_s)

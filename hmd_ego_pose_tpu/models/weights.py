@@ -129,7 +129,8 @@ def build_mapping(config: ModelConfig) -> _Mapper:
     levels = config.num_pyramid_levels
     repeats = config.head_repeats
 
-    def head(torch_name: str, tree_name: str, headers: Dict[str, str]):
+    def head(torch_name: str, tree_name: str, headers: Dict[str, str],
+             iter_headers: Tuple[str, ...] = ()):
         t, p = torch_name, (tree_name,)
         for j in range(repeats):
             m.sep_conv(f"{t}.conv_list.{j}", p + ("convs", j), norm=False)
@@ -138,13 +139,25 @@ def build_mapping(config: ModelConfig) -> _Mapper:
                 m.bn(f"{t}.bn_list.{lv}.{j}", p + ("bns", lv, j), p + ("bns", lv, j))
         for torch_h, tree_h in headers.items():
             m.sep_conv(f"{t}.{torch_h}", p + (tree_h,), norm=False)
+        # iterative refinement subnet (hmdegopose/model.py:232-346)
+        if config.iter_steps >= 1 and iter_headers:
+            it = f"{t}.iterative_submodel"
+            ip = p + ("iter",)
+            for j in range(repeats):
+                m.sep_conv(f"{it}.conv_list.{j}", ip + ("convs", j), norm=False)
+            for s in range(config.iter_steps):
+                for j in range(repeats):
+                    m.bn(f"{it}.norm_layer.{s}.{j}", ip + ("bns", s, j), ip + ("bns", s, j))
+            for h_idx, torch_h in enumerate(iter_headers):
+                m.sep_conv(f"{it}.{torch_h}", ip + ("headers", h_idx), norm=False)
 
     head("regressor", "regressor", {"header": "header"})
     head("classifier", "classifier", {"header": "header"})
-    head("rotation_net", "rotation", {"initial_rotation": "header"})
-    head("hand_net", "hand", {"initial_hand_coords": "header"})
+    head("rotation_net", "rotation", {"initial_rotation": "header"}, iter_headers=("head",))
+    head("hand_net", "hand", {"initial_hand_coords": "header"}, iter_headers=("head",))
     head("translation_net", "translation",
-         {"initial_translation_xy": "header_xy", "initial_translation_z": "header_z"})
+         {"initial_translation_xy": "header_xy", "initial_translation_z": "header_z"},
+         iter_headers=("head_xy", "head_z"))
     return m
 
 

@@ -97,6 +97,19 @@ def test_converted_weights_change_outputs(model):
     assert float(jnp.max(jnp.abs(out1.regression - out2.regression))) > 1e-6
 
 
+def test_convert_roundtrip_with_iterative_subnets():
+    cfg = ModelConfig(phi=0, image_size=128, iter_steps=1)
+    params, state = hmd_ego_pose.init(jax.random.PRNGKey(1), cfg)
+    sd = export_torch_state_dict(params, state, cfg)
+    assert "rotation_net.iterative_submodel.conv_list.0.depthwise_conv.conv.weight" in sd
+    assert "translation_net.iterative_submodel.head_z.pointwise_conv.conv.weight" in sd
+    assert "hand_net.iterative_submodel.norm_layer.0.1.running_var" in sd
+    params2, state2, report = convert_torch_state_dict(sd, params, state, cfg)
+    assert not report["missing"] and not report["unused"]
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_strict_conversion_catches_unknown_keys(model):
     cfg, params, state = model
     sd = export_torch_state_dict(params, state, cfg)
