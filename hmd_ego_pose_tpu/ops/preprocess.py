@@ -19,27 +19,40 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+def _interp_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """(out, in) bilinear interpolation matrix, cv2 half-pixel convention."""
+    coords = (np.arange(out_size) + 0.5) * in_size / out_size - 0.5
+    i0 = np.floor(coords).astype(np.int64)
+    frac = coords - i0
+    m = np.zeros((out_size, in_size), np.float32)
+    for row in range(out_size):
+        a = np.clip(i0[row], 0, in_size - 1)
+        b = np.clip(i0[row] + 1, 0, in_size - 1)
+        m[row, a] += 1.0 - frac[row]
+        m[row, b] += frac[row]
+    return m
+
+
 def _resize_bilinear_cv(x, rh: int, rw: int):
     """cv2 INTER_LINEAR-convention bilinear resize (half-pixel centres, NO
     antialiasing) of NHWC batches.  jax.image.resize antialiases when
     downsampling, which breaks parity with the reference's cv2 preprocessing
-    (generators/colibri_common.py:640); this gather+lerp matches it exactly.
-    All indices/weights are compile-time constants."""
-    b, h, w, c = x.shape
-    ys = (np.arange(rh) + 0.5) * h / rh - 0.5
-    xs = (np.arange(rw) + 0.5) * w / rw - 0.5
-    y0 = np.floor(ys).astype(np.int32)
-    x0 = np.floor(xs).astype(np.int32)
-    fy = jnp.asarray((ys - y0).astype(np.float32))[None, :, None, None]
-    fx = jnp.asarray((xs - x0).astype(np.float32))[None, None, :, None]
-    y0c = np.clip(y0, 0, h - 1)
-    y1c = np.clip(y0 + 1, 0, h - 1)
-    x0c = np.clip(x0, 0, w - 1)
-    x1c = np.clip(x0 + 1, 0, w - 1)
+    (generators/colibri_common.py:640).
 
-    top = x[:, y0c][:, :, x0c] * (1 - fx) + x[:, y0c][:, :, x1c] * fx
-    bot = x[:, y1c][:, :, x0c] * (1 - fx) + x[:, y1c][:, :, x1c] * fx
-    return top * (1 - fy) + bot * fy
+    Separable bilinear = two small matmuls against constant interpolation
+    matrices — they ride the MXU instead of lowering to scatter/gather.
+    HIGHEST precision keeps the fp32 weights exact enough that the uint8
+    rounding downstream is bit-stable.
+    """
+    b, h, w, c = x.shape
+    my = jnp.asarray(_interp_matrix(rh, h))  # (rh, h)
+    mx = jnp.asarray(_interp_matrix(rw, w))  # (rw, w)
+    hi = jax.lax.Precision.HIGHEST
+    # rows: (rh,h) x (b,h,w,c) -> (b,rh,w,c)
+    x = jnp.einsum("ry,bywc->brwc", my, x, precision=hi)
+    # cols: (rw,w) x (b,rh,w,c) -> (b,rh,rw,c)
+    x = jnp.einsum("sw,brwc->brsc", mx, x, precision=hi)
+    return x
 
 
 def preprocess_uint8_batch(frames, target_size: int):
