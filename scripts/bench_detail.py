@@ -30,6 +30,10 @@ def timed(fn, *args, warmup=3, iters=30):
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
 
     from hmd_ego_pose_tpu.config import Config, ModelConfig, TrainConfig
@@ -60,11 +64,16 @@ def main():
     lines.append("|---|---|---|")
 
     def serving_fn_factory(b):
-        @jax.jit
+        pre = jax.jit(lambda frames: preprocess_uint8_batch(frames, cfg.image_size))
+        core = jax.jit(
+            lambda params, state, images, cams: hmd_ego_pose.predict(
+                params, state, images, cams, cfg, score_threshold=0.5, max_detections=1
+            )
+        )
+
         def fn(params, state, frames, cams):
-            images = preprocess_uint8_batch(frames, cfg.image_size)
-            return hmd_ego_pose.predict(params, state, images, cams, cfg,
-                                        score_threshold=0.5, max_detections=1)
+            return core(params, state, pre(frames), cams)
+
         return fn
 
     for b in (1, 4, 16):
