@@ -212,16 +212,22 @@ class InferenceEngine:
             for r in reqs:
                 self.queue_stats.record((t_start - r.t_enqueue) * 1000)
 
-            b = next(s for s in self.batch_sizes if s >= len(reqs))
-            frames = np.zeros((b, h, w, 3), np.uint8)
-            cams = np.zeros((b, 6), np.float32)
-            for i, r in enumerate(reqs):
-                frames[i] = r.frame
-                cams[i] = r.camera
-            for i in range(len(reqs), b):
-                cams[i] = reqs[0].camera  # pad rows with valid intrinsics
+            try:
+                b = next(s for s in self.batch_sizes if s >= len(reqs))
+                frames = np.zeros((b, h, w, 3), np.uint8)
+                cams = np.zeros((b, 6), np.float32)
+                for i, r in enumerate(reqs):
+                    frames[i] = r.frame
+                    cams[i] = r.camera
+                for i in range(len(reqs), b):
+                    cams[i] = reqs[0].camera  # pad rows with valid intrinsics
 
-            det = self._run_device(frames, cams)
+                det = self._run_device(frames, cams)
+            except Exception as exc:  # device/shape failure: fail the batch, keep serving
+                for r in reqs:
+                    r.future.set_exception(exc)
+                continue
+
             t_done = time.perf_counter()
             self.device_stats.record((t_done - t_start) * 1000)
 

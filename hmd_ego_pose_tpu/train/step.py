@@ -98,8 +98,6 @@ def make_train_step(config: Config, model_points):
     constant (the reference re-uploads it every step, train.py:192).
     """
     model_cfg, train_cfg, loss_cfg = config.model, config.train, config.train.loss
-    tx = None  # built lazily against the params tree structure
-
     model_points = jnp.asarray(model_points)
 
     def step(state: TrainState, batch: Batch, rng) -> Tuple[TrainState, Dict[str, jax.Array]]:
