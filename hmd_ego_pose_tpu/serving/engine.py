@@ -89,7 +89,10 @@ class InferenceEngine:
         model_config: ModelConfig,
         serving_config: ServingConfig = ServingConfig(),
         frame_shape: Tuple[int, int] = (480, 480),
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh — frames shard over the data
+        axis for multi-chip throughput; params replicate."""
         import jax
         import jax.numpy as jnp
 
@@ -99,6 +102,15 @@ class InferenceEngine:
         self.model_config = model_config
         self.cfg = serving_config
         self.frame_shape = frame_shape
+        self.mesh = mesh
+        if mesh is not None:
+            from hmd_ego_pose_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+            self._frame_sharding = batch_sharding(mesh)
+            params = jax.device_put(params, replicated_sharding(mesh))
+            bn_state = jax.device_put(bn_state, replicated_sharding(mesh))
+        else:
+            self._frame_sharding = None
         self.params = params
         self.bn_state = bn_state
 
@@ -108,10 +120,12 @@ class InferenceEngine:
         self.device_stats = LatencyStats()
         self.total_stats = LatencyStats()
 
-        # one compiled program per batch size (powers of two)
+        # one compiled program per batch size (powers of two); under a mesh
+        # every batch must divide evenly over the data axis
+        min_b = 1 if mesh is None else mesh.shape[mesh.axis_names[0]]
         sizes = []
-        b = 1
-        while b <= serving_config.max_batch_size:
+        b = min_b
+        while b <= max(serving_config.max_batch_size, min_b):
             sizes.append(b)
             b *= 2
         self.batch_sizes = sizes
@@ -189,9 +203,12 @@ class InferenceEngine:
     def _run_device(self, frames_u8: np.ndarray, cameras: np.ndarray):
         import jax
 
-        det = self._predict(
-            self.params, self.bn_state, self._jnp.asarray(frames_u8), self._jnp.asarray(cameras)
-        )
+        frames = self._jnp.asarray(frames_u8)
+        cams = self._jnp.asarray(cameras)
+        if self._frame_sharding is not None:
+            frames = jax.device_put(frames, self._frame_sharding)
+            cams = jax.device_put(cams, self._frame_sharding)
+        det = self._predict(self.params, self.bn_state, frames, cams)
         return jax.device_get(det)
 
     def _dispatch_loop(self):

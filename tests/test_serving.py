@@ -120,6 +120,33 @@ def test_engine_single_and_batched(small_engine):
     assert stats["total"]["count"] >= 8
 
 
+def test_engine_on_8_device_mesh():
+    """Multi-chip DP serving: frames shard over the data axis."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from hmd_ego_pose_tpu.parallel.mesh import make_mesh
+
+    cfg = ModelConfig(phi=0, image_size=128)
+    params, state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh()
+    engine = InferenceEngine(
+        params, state, cfg,
+        ServingConfig(max_batch_size=8, score_threshold=0.0),
+        frame_shape=(96, 96),
+        mesh=mesh,
+    )
+    assert engine.batch_sizes[0] == 8
+    engine.start()
+    try:
+        rng = np.random.RandomState(7)
+        frame = rng.randint(0, 255, size=(96, 96, 3)).astype(np.uint8)
+        futures = [engine.submit(frame) for _ in range(8)]
+        results = [f.result(timeout=300) for f in futures]
+        assert all(r is not None for r in results)
+    finally:
+        engine.stop()
+
+
 def test_tcp_server_end_to_end(small_engine):
     server = PoseServer(small_engine, port=0)
     server.start()
