@@ -99,6 +99,7 @@ def transformation_loss(
     Returns:
         (rotation_loss, translation_loss) scalars.
     """
+    model_3d_points = jnp.asarray(model_3d_points)  # accept host numpy constants
     positive = state == 1.0
     num_pos = jnp.sum(positive.astype(jnp.float32))
 

@@ -98,7 +98,11 @@ def make_train_step(config: Config, model_points):
     constant (the reference re-uploads it every step, train.py:192).
     """
     model_cfg, train_cfg, loss_cfg = config.model, config.train, config.train.loss
-    model_points = jnp.asarray(model_points)
+    # keep as a host-side numpy constant: it embeds into the lowered program
+    # without a device->host read at trace time
+    import numpy as np
+
+    model_points = np.asarray(model_points, np.float32)
 
     def step(state: TrainState, batch: Batch, rng) -> Tuple[TrainState, Dict[str, jax.Array]]:
         grad_fn = jax.value_and_grad(_compute_losses, has_aux=True)

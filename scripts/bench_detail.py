@@ -28,7 +28,7 @@ def timed(fn, *args, warmup=3, iters=30):
     return float(np.percentile(times, 50)), float(np.percentile(times, 90))
 
 
-def main():
+def main(sections=("predict", "serving", "train")):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -42,26 +42,22 @@ def main():
     from hmd_ego_pose_tpu.train.step import Batch, make_train_step
 
     rng = np.random.RandomState(0)
-    lines = ["# Detailed TPU benchmarks", "",
-             f"backend: {jax.default_backend()}, device: {jax.devices()[0]}", ""]
+    lines = [f"## section run: backend={jax.default_backend()}", ""]
 
     cfg = ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16")
     params, state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
 
-    lines.append("## Fused predict (256x256 preprocessed input, bf16)")
-    lines.append("| batch | p50 ms | p90 ms | fps/chip |")
-    lines.append("|---|---|---|---|")
-    for b in (1, 2, 4, 8, 16, 32):
-        predict = hmd_ego_pose.make_predict_fn(cfg, score_threshold=0.5, max_detections=100)
-        images = jnp.asarray(rng.normal(size=(b, 256, 256, 3)).astype(np.float32) * 0.3)
-        cam = jnp.tile(jnp.asarray([[572.4, 573.6, 128.0, 128.0, 1000.0, 1.0]], jnp.float32), (b, 1))
-        p50, p90 = timed(predict, params, state, images, cam)
-        lines.append(f"| {b} | {p50:.3f} | {p90:.3f} | {b / p50 * 1000:.0f} |")
-
-    lines.append("")
-    lines.append("## Serving path (uint8 480x480 frames, device-fused preprocess)")
-    lines.append("| batch | p50 ms | fps/chip |")
-    lines.append("|---|---|---|")
+    if "predict" in sections:
+        lines.append("## Fused predict (256x256 preprocessed input, bf16)")
+        lines.append("| batch | p50 ms | p90 ms | fps/chip |")
+        lines.append("|---|---|---|---|")
+        for b in (1, 2, 4, 8, 16, 32):
+            predict = hmd_ego_pose.make_predict_fn(cfg, score_threshold=0.5, max_detections=100)
+            images = jnp.asarray(rng.normal(size=(b, 256, 256, 3)).astype(np.float32) * 0.3)
+            cam = jnp.tile(jnp.asarray([[572.4, 573.6, 128.0, 128.0, 1000.0, 1.0]], jnp.float32), (b, 1))
+            p50, p90 = timed(predict, params, state, images, cam)
+            lines.append(f"| {b} | {p50:.3f} | {p90:.3f} | {b / p50 * 1000:.0f} |")
+        lines.append("")
 
     def serving_fn_factory(b):
         pre = jax.jit(lambda frames: preprocess_uint8_batch(frames, cfg.image_size))
@@ -76,14 +72,22 @@ def main():
 
         return fn
 
-    for b in (1, 4, 16):
-        fn = serving_fn_factory(b)
-        frames = jnp.asarray(rng.randint(0, 255, size=(b, 480, 480, 3)).astype(np.uint8))
-        cams = jnp.tile(jnp.asarray([[480.0, 480.0, 240.0, 240.0, 1000.0, 256 / 480]], jnp.float32), (b, 1))
-        p50, _ = timed(fn, params, state, frames, cams)
-        lines.append(f"| {b} | {p50:.3f} | {b / p50 * 1000:.0f} |")
+    if "serving" in sections:
+        lines.append("## Serving path (uint8 480x480 frames, device preprocess)")
+        lines.append("| batch | p50 ms | fps/chip |")
+        lines.append("|---|---|---|")
+        for b in (1, 4, 16):
+            fn = serving_fn_factory(b)
+            frames = jnp.asarray(rng.randint(0, 255, size=(b, 480, 480, 3)).astype(np.uint8))
+            cams = jnp.tile(jnp.asarray([[480.0, 480.0, 240.0, 240.0, 1000.0, 256 / 480]], jnp.float32), (b, 1))
+            p50, _ = timed(fn, params, state, frames, cams)
+            lines.append(f"| {b} | {p50:.3f} | {b / p50 * 1000:.0f} |")
+        lines.append("")
 
-    lines.append("")
+    if "train" not in sections:
+        _write(lines)
+        return
+
     lines.append("## Train step (phi0 256x256, batch 16, Adam, on-device targets)")
     tcfg = Config(model=ModelConfig(phi=0, image_size=256),
                   train=TrainConfig(batch_size=16, freeze_backbone=False))
@@ -113,11 +117,15 @@ def main():
     per_step = (time.perf_counter() - t0) / n_steps * 1000
     lines.append(f"- per-step wall time: {per_step:.2f} ms  ({16 / per_step * 1000:.0f} images/s/chip)")
     lines.append(f"- reference: 1 GPU, no published step time; epoch = 10x dataset (train.py:112)")
+    _write(lines)
 
-    with open("BENCH_NOTES.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+
+def _write(lines):
+    with open("BENCH_NOTES.md", "a") as f:
+        f.write("\n".join(lines) + "\n\n")
     print("\n".join(lines))
 
 
 if __name__ == "__main__":
-    main()
+    sections = tuple(sys.argv[1:]) or ("predict", "serving", "train")
+    main(sections)

@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the full-model train-step compiles dominate suite
+# wall time; caching them makes repeated runs fast
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu_tests")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np
 import pytest
