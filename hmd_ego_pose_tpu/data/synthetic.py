@@ -122,10 +122,11 @@ def generate_synthetic_colibri(
         uv, z = _project(model_points, rot_mat, trans, cam_k)
         _splat(image, mask, uv, z, color=(60, 160, 220))
 
-        # synthetic hand: 21 joints hovering near the object (meters in the
-        # real data are mm here; reference stores them unscaled in npy)
-        hand_center = trans + rng.normal(scale=20, size=3)
-        hand = hand_center + rng.normal(scale=30, size=(21, 3))
+        # synthetic hand: 21 joints hovering near the object, in METERS —
+        # the real dataset's hands/*.npy are meters (the reference converts
+        # MPJPE to mm by multiplying by 1000, eval/common.py:975-981)
+        hand_center = trans / 1000.0 + rng.normal(scale=0.02, size=3)
+        hand = hand_center + rng.normal(scale=0.03, size=(21, 3))
 
         imwrite(os.path.join(obj_dir, "rgb", f"{frame:06d}.png"), image)
         imwrite(os.path.join(obj_dir, "mask", f"{frame:06d}.png"), mask)

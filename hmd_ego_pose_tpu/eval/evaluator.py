@@ -221,7 +221,9 @@ def evaluate_model(
         return float(np.sum(flags)) / num_annotations if flags else 0.0
 
     def mean_std(vals):
-        return (float(np.mean(vals)), float(np.std(vals))) if vals else (0.0, 0.0)
+        # no true positives -> infinitely bad distances (keeps best-checkpoint
+        # selection from latching onto an empty epoch); accuracies stay 0
+        return (float(np.mean(vals)), float(np.std(vals))) if vals else (float("inf"), float("inf"))
 
     result.add_accuracy = acc(tp_add)
     result.add_s_accuracy = acc(tp_add_s)

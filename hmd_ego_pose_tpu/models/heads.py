@@ -86,10 +86,15 @@ def head_init(
     num_layers: int,
     pyramid_levels: int,
     iter_steps: int = 0,
+    header_bias_init: float = 0.0,
 ):
     k_core, k_head, k_iter = jax.random.split(key, 3)
     params, state = _head_core_init(k_core, in_ch, num_layers, pyramid_levels)
     params["header"], _ = sep_conv_init(k_head, in_ch, num_anchors * out_dim, norm=False)
+    if header_bias_init:
+        params["header"]["pointwise"]["bias"] = jnp.full(
+            (num_anchors * out_dim,), header_bias_init, jnp.float32
+        )
     if iter_steps >= 1:
         p, s = _iter_subnet_init(
             k_iter, in_ch, in_ch + num_anchors * out_dim,

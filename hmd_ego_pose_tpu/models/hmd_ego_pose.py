@@ -63,8 +63,14 @@ def init(key, config: ModelConfig) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     params["regressor"], state["regressor"] = heads.head_init(
         keys[2], fpn_ch, 4, num_anchors, repeats, levels
     )
+    # classifier header bias starts at the focal-loss prior (p = 0.01,
+    # RetinaNet-style) so early training isn't swamped by background anchors.
+    # The reference ends up training its 1-class heads from random init
+    # because its 90-class pretrained load fails strict=True and the
+    # exception is swallowed (backbone.py:127-133).
     params["classifier"], state["classifier"] = heads.head_init(
-        keys[3], fpn_ch, config.num_classes, num_anchors, repeats, levels
+        keys[3], fpn_ch, config.num_classes, num_anchors, repeats, levels,
+        header_bias_init=-4.59511985013459,  # -log((1 - 0.01) / 0.01)
     )
     params["rotation"], state["rotation"] = heads.head_init(
         keys[4], fpn_ch, config.num_rotation_parameters, num_anchors, repeats, levels,

@@ -17,7 +17,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(num_frames=96, epochs=8, batch_size=8, image_size=256):
+def main(num_frames=96, epochs=16, batch_size=8, image_size=256):
     from hmd_ego_pose_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
     from hmd_ego_pose_tpu.data.colibri import ColibriDataset
     from hmd_ego_pose_tpu.data.synthetic import generate_synthetic_colibri
@@ -25,8 +25,10 @@ def main(num_frames=96, epochs=8, batch_size=8, image_size=256):
     from hmd_ego_pose_tpu.utils.logging import MetricLogger
 
     workdir = tempfile.mkdtemp(prefix="hmd_syn_")
+    # 256x256 frames: image_scale = 1, the geometry the real colibri data has
+    # (camera_params.txt px=py=128 -> 256-px frames)
     root = generate_synthetic_colibri(
-        os.path.join(workdir, "data"), num_frames=num_frames, image_size=(480, 480)
+        os.path.join(workdir, "data"), num_frames=num_frames, image_size=(256, 256)
     )
     cfg = Config(
         model=ModelConfig(phi=0, image_size=image_size),
@@ -35,7 +37,7 @@ def main(num_frames=96, epochs=8, batch_size=8, image_size=256):
             freeze_backbone=False, checkpoint_dir=os.path.join(workdir, "ckpt"),
         ),
         data=DataConfig(dataset="syn_colibri", num_workers=8),
-        eval=EvalConfig(score_threshold=0.3),
+        eval=EvalConfig(score_threshold=0.1),
     )
     train_ds = ColibriDataset(root, fold=0, partition="train")
     val_ds = ColibriDataset(root, fold=0, partition="val")

@@ -90,6 +90,19 @@ def test_predict_end_to_end():
     assert int(det.num_valid[0]) >= 0
 
 
+def test_phi1_model_family():
+    """Scaling tables beyond phi 0: b1 backbone (depth 1.1), 88-ch BiFPN x4."""
+    cfg = ModelConfig(phi=1, image_size=128)
+    assert cfg.fpn_num_filters == 88
+    assert cfg.fpn_cell_repeats == 4
+    specs = block_specs(1)
+    assert len(specs) == 23  # depth multiplier 1.1 rounds stage repeats up
+    params, state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+    out, _ = hmd_ego_pose.apply(params, state, jnp.zeros((1, 128, 128, 3)), cfg)
+    assert out.regression.shape == (1, cfg.total_anchors, 4)
+    assert out.hand.shape == (1, cfg.total_anchors, 63)
+
+
 def test_param_count_phi0_reasonable():
     """EfficientPose-phi0 should be in the ~4M parameter regime."""
     cfg = small_config()
