@@ -17,7 +17,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(num_frames=96, epochs=16, batch_size=8, image_size=256):
+def main(num_frames=96, epochs=25, batch_size=8, image_size=256):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     from hmd_ego_pose_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
     from hmd_ego_pose_tpu.data.colibri import ColibriDataset
     from hmd_ego_pose_tpu.data.synthetic import generate_synthetic_colibri
@@ -33,7 +39,7 @@ def main(num_frames=96, epochs=16, batch_size=8, image_size=256):
     cfg = Config(
         model=ModelConfig(phi=0, image_size=image_size),
         train=TrainConfig(
-            batch_size=batch_size, learning_rate=5e-4, epochs=epochs, oversample=2,
+            batch_size=batch_size, learning_rate=5e-4, epochs=epochs, oversample=10,
             freeze_backbone=False, checkpoint_dir=os.path.join(workdir, "ckpt"),
         ),
         data=DataConfig(dataset="syn_colibri", num_workers=8),
