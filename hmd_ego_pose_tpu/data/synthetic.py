@@ -45,8 +45,13 @@ def _project(points, rot_mat, trans, cam_k):
     return np.stack([u, v], axis=1), z
 
 
-def _splat(image, mask, uv, z, color, radius=3):
-    """Painter's-algorithm point splat with z-ordering."""
+def _splat(image, mask, uv, z, colors, radius=3):
+    """Painter's-algorithm point splat with z-ordering.
+
+    ``colors``: (N, 3) per-point colors.  They are computed from model-frame
+    coordinates so the rendered appearance encodes orientation — otherwise
+    the 6-DoF rotation would be unlearnable from these images.
+    """
     h, w = image.shape[:2]
     order = np.argsort(-z)  # far to near
     for i in order:
@@ -54,8 +59,7 @@ def _splat(image, mask, uv, z, color, radius=3):
         if 0 <= x < w and 0 <= y < h:
             x0, x1 = max(0, x - radius), min(w, x + radius + 1)
             y0, y1 = max(0, y - radius), min(h, y + radius + 1)
-            shade = 0.6 + 0.4 * (i % 7) / 7.0
-            image[y0:y1, x0:x1] = (np.asarray(color) * shade).astype(np.uint8)
+            image[y0:y1, x0:x1] = colors[i]
             mask[y0:y1, x0:x1] = 255
 
 
@@ -83,6 +87,11 @@ def generate_synthetic_colibri(
     model_points = _cuboid_points(rng=rng)
     size = model_points.max(axis=0) - model_points.min(axis=0)
     diameter = float(np.linalg.norm(size))
+
+    # orientation-revealing texture: color is a smooth function of the
+    # model-frame position, so every pose renders distinguishably
+    norm = (model_points - model_points.min(axis=0)) / np.maximum(size, 1e-6)
+    point_colors = (40 + 200 * norm).astype(np.uint8)
 
     # write the PLY model (ascii)
     ply_path = os.path.join(model_dir, f"obj_{object_id:02d}.ply")
@@ -120,7 +129,7 @@ def generate_synthetic_colibri(
         image = rng.randint(20, 80, size=(h, w, 3)).astype(np.uint8)
         mask = np.zeros((h, w), np.uint8)
         uv, z = _project(model_points, rot_mat, trans, cam_k)
-        _splat(image, mask, uv, z, color=(60, 160, 220))
+        _splat(image, mask, uv, z, point_colors)
 
         # synthetic hand: 21 joints hovering near the object, in METERS —
         # the real dataset's hands/*.npy are meters (the reference converts
