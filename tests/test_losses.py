@@ -183,6 +183,43 @@ def test_transformation_loss_symmetric_invariance():
     assert float(rot_asym) > 0.01
 
 
+def test_transformation_loss_gradient_recovers_rotation():
+    """Gradient descent through the transformation loss must recover the GT
+    rotation — guards the Rodrigues/axis-angle gradient path."""
+    import optax
+
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(rng.normal(scale=50, size=(40, 3)).astype(np.float32))
+    r_gt = np.array([0.5, -0.3, 0.8])
+
+    n = 10
+    state = np.zeros(n)
+    state[:4] = 1.0
+    gt = np.zeros((n, 8), np.float32)
+    gt[:, :3] = r_gt / np.pi
+    gt[:, 3:6] = [10.0, -5.0, 500.0]
+
+    def loss_fn(pred_rot):
+        pred = jnp.concatenate(
+            [jnp.tile(pred_rot[None] / np.pi, (n, 1)),
+             jnp.tile(jnp.asarray([[10.0, -5.0, 500.0]]), (n, 1))],
+            axis=1,
+        )
+        rot_l, _ = transformation_loss(jnp.asarray(gt), pred, jnp.asarray(state), points[None])
+        return rot_l
+
+    opt = optax.adam(0.02)
+    r = jnp.asarray([0.05, 0.02, -0.1])
+    opt_state = opt.init(r)
+    step = jax.jit(
+        lambda r, s: (lambda g: (r + opt.update(g, s)[0], opt.update(g, s)[1]))(jax.grad(loss_fn)(r))
+    )
+    for _ in range(400):
+        r, opt_state = step(r, opt_state)
+    assert float(loss_fn(r)) < 0.5
+    np.testing.assert_allclose(np.asarray(r), r_gt, atol=0.02)
+
+
 def test_total_loss_runs_and_weights():
     rng = np.random.RandomState(4)
     b, n, c = 2, 200, 1
