@@ -20,7 +20,7 @@ def synthetic_root(tmp_path_factory):
     return generate_synthetic_colibri(str(root), num_frames=8, image_size=(256, 256))
 
 
-def test_trainer_one_epoch(synthetic_root, tmp_path):
+def test_trainer_one_epoch(synthetic_root, tmp_path, monkeypatch):
     cfg = Config(
         model=ModelConfig(phi=0, image_size=128),
         train=TrainConfig(
@@ -33,6 +33,16 @@ def test_trainer_one_epoch(synthetic_root, tmp_path):
     )
     train_ds = ColibriDataset(synthetic_root, fold=0, partition="train")
     val_ds = ColibriDataset(synthetic_root, fold=0, partition="val")
+
+    # a 1-epoch random-init model produces no true positives (metric = inf,
+    # correctly no checkpoint); stub the eval so the best-checkpoint path runs
+    from hmd_ego_pose_tpu.eval.evaluator import EvalResult
+    import hmd_ego_pose_tpu.train.trainer as trainer_mod
+
+    monkeypatch.setattr(
+        trainer_mod, "evaluate_model",
+        lambda *a, **k: EvalResult(mixed_point_distance_mean_mm=42.0, mean_ap=0.5),
+    )
 
     logger = MetricLogger(log_dir=str(tmp_path / "runs"), stdout=False)
     trainer = Trainer(cfg, train_ds, val_ds, logger=logger)
