@@ -24,9 +24,9 @@ import numpy as np
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    # NOTE: do NOT enable the persistent compilation cache here — on the
+    # axon remote-compile tunnel, cache-loaded large executables execute ~30x
+    # slower than freshly compiled (server-resident) ones.
     import jax.numpy as jnp
 
     from hmd_ego_pose_tpu.config import ModelConfig

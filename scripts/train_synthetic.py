@@ -20,9 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(num_frames=96, epochs=25, batch_size=8, image_size=256):
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    # NOTE: do NOT enable the persistent compilation cache here — on the
+    # axon remote-compile tunnel, cache-loaded large executables execute ~30x
+    # slower than freshly compiled (server-resident) ones.
 
     from hmd_ego_pose_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
     from hmd_ego_pose_tpu.data.colibri import ColibriDataset
