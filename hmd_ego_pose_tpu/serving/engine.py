@@ -120,15 +120,14 @@ class InferenceEngine:
         self.device_stats = LatencyStats()
         self.total_stats = LatencyStats()
 
-        # one compiled program per batch size (powers of two); under a mesh
-        # every batch must divide evenly over the data axis
+        # ONE fixed batch size: the chip is latency-bound at these model
+        # sizes (batch 16 costs the same wall time as batch 1 — see
+        # BENCH_NOTES.md), so padding every dispatch to max_batch_size is
+        # free and keeps exactly two XLA programs resident.  Many resident
+        # programs measurably degrade per-call latency on remote-attached
+        # TPUs (program cache thrash).
         min_b = 1 if mesh is None else mesh.shape[mesh.axis_names[0]]
-        sizes = []
-        b = min_b
-        while b <= max(serving_config.max_batch_size, min_b):
-            sizes.append(b)
-            b *= 2
-        self.batch_sizes = sizes
+        self.batch_sizes = [max(serving_config.max_batch_size, min_b)]
 
         cfgm = model_config
 
