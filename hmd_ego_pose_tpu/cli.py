@@ -111,10 +111,19 @@ def cmd_serve(args):
         print("WARNING: serving randomly initialized weights (no --ckpt)")
         params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), model_cfg)
 
+    default_camera = None
+    if args.camera_params:
+        # [fx fy px py tz_scale image_scale] — the reference's
+        # onnx-models/camera_params*.txt layout
+        import numpy as np
+
+        default_camera = np.loadtxt(args.camera_params).reshape(-1)[:6]
+
     engine = InferenceEngine(
         params, bn_state, model_cfg,
         ServingConfig(max_batch_size=args.max_batch_size, score_threshold=args.score_threshold),
         frame_shape=(args.frame_size, args.frame_size),
+        default_camera=default_camera,
     )
     engine.warmup()
     server = PoseServer(engine, host=args.host, port=args.port)
@@ -213,6 +222,8 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=18734)
     p.add_argument("--max-batch-size", type=int, default=16)
     p.add_argument("--score-threshold", type=float, default=0.5)
+    p.add_argument("--camera-params", default=None,
+                   help="txt file of [fx fy px py tz_scale image_scale] (reference camera_params*.txt layout)")
     p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("debug", help="dataset/annotation viewer (reference debug.py)")

@@ -90,9 +90,13 @@ class InferenceEngine:
         serving_config: ServingConfig = ServingConfig(),
         frame_shape: Tuple[int, int] = (480, 480),
         mesh=None,
+        default_camera=None,
     ):
         """``mesh``: optional jax.sharding.Mesh — frames shard over the data
-        axis for multi-chip throughput; params replicate."""
+        axis for multi-chip throughput; params replicate.
+        ``default_camera``: optional (6,) [fx, fy, px, py, tz_scale,
+        image_scale] used for requests without explicit intrinsics — same
+        layout as the reference's camera_params*.txt files."""
         import jax
         import jax.numpy as jnp
 
@@ -113,6 +117,9 @@ class InferenceEngine:
             self._frame_sharding = None
         self.params = params
         self.bn_state = bn_state
+        self._default_camera_override = (
+            np.asarray(default_camera, np.float32) if default_camera is not None else None
+        )
 
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=serving_config.queue_depth)
         self._stop = threading.Event()
@@ -193,6 +200,8 @@ class InferenceEngine:
 
     # -- internals ------------------------------------------------------------------
     def _default_camera(self) -> np.ndarray:
+        if getattr(self, "_default_camera_override", None) is not None:
+            return self._default_camera_override
         h, w = self.frame_shape
         scale = self.model_config.image_size / max(h, w)
         # desktop default intrinsics as shipped in the reference's

@@ -61,8 +61,12 @@ def save_checkpoint(
     params,
     bn_state,
     metadata: Optional[Dict[str, Any]] = None,
+    backend: str = "npz",
 ) -> str:
+    """Save a checkpoint; ``backend``: "npz" (portable, default) or "orbax"."""
     os.makedirs(directory, exist_ok=True)
+    if backend == "orbax":
+        return _save_orbax(directory, name, params, bn_state, metadata)
     path = os.path.join(directory, name + ".npz")
     flat = {}
     flat.update({"params/" + k: np.asarray(v) for k, v in _flatten(jax.device_get(params)).items()})
@@ -74,7 +78,9 @@ def save_checkpoint(
 
 
 def restore_checkpoint(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
-    """Returns (params, bn_state, metadata)."""
+    """Returns (params, bn_state, metadata); dispatches on the artifact kind."""
+    if os.path.isdir(path):
+        return _restore_orbax(path)
     data = np.load(path)
     params_flat = {k[len("params/"):]: data[k] for k in data.files if k.startswith("params/")}
     bn_flat = {k[len("bn/"):]: data[k] for k in data.files if k.startswith("bn/")}
@@ -84,3 +90,30 @@ def restore_checkpoint(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
         with open(meta_path) as f:
             metadata = json.load(f)
     return _unflatten(params_flat), _unflatten(bn_flat), metadata
+
+
+def _save_orbax(directory, name, params, bn_state, metadata):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, name + ".orbax"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {"params": jax.device_get(params), "bn_state": jax.device_get(bn_state)},
+        )
+    with open(os.path.join(path, "user_metadata.json"), "w") as f:
+        json.dump(metadata or {}, f, indent=2)
+    return path
+
+
+def _restore_orbax(path):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path))
+    meta_path = os.path.join(path, "user_metadata.json")
+    metadata = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    return tree["params"], tree["bn_state"], metadata

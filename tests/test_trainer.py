@@ -64,6 +64,19 @@ def test_trainer_one_epoch(synthetic_root, tmp_path, monkeypatch):
     assert sum(1 for _ in open(logger.jsonl_path)) >= 2
 
 
+def test_checkpoint_orbax_backend(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    tree = {"a": {"b": np.arange(6.0).reshape(2, 3)}, "c": [np.ones(4), np.zeros(2)]}
+    bn = {"m": np.full(3, 2.0)}
+    path = save_checkpoint(str(tmp_path), "ck", tree, bn, {"epoch": 3}, backend="orbax")
+    assert os.path.isdir(path)
+    params, bn2, meta = restore_checkpoint(path)
+    np.testing.assert_array_equal(params["a"]["b"], tree["a"]["b"])
+    np.testing.assert_array_equal(params["c"][1], np.zeros(2))
+    np.testing.assert_array_equal(bn2["m"], bn["m"])
+    assert meta == {"epoch": 3}
+
+
 def test_checkpoint_roundtrip_nested(tmp_path):
     tree = {
         "a": {"b": [np.arange(3.0), np.ones((2, 2))], "c": np.float32(2.5)},
