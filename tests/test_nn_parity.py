@@ -133,6 +133,56 @@ def test_swish_matches_torch():
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
 
 
+def test_mbconv_block_matches_torch_composite():
+    """Full MBConv (expand -> dw -> SE -> project -> skip) vs a torch
+    re-derivation with identical weights — validates the converter's layout
+    transposes end-to-end."""
+    import jax
+    import jax.numpy as jnp2
+
+    from hmd_ego_pose_tpu.models.efficientnet import _mbconv_apply, _mbconv_init
+
+    spec = dict(stage=2, kernel=3, stride=1, expand_ratio=6, in_ch=16, out_ch=16, se_ratio=0.25)
+    params, state = _mbconv_init(jax.random.PRNGKey(0), spec)
+
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(2, 8, 8, 16)).astype(np.float32)
+
+    got, _ = _mbconv_apply(params, state, jnp2.asarray(x), spec, training=False,
+                           drop_rate=0.0, rng=None, axis_name=None)
+    got = np.asarray(got)
+
+    # torch re-derivation (eval-mode BN with our running stats)
+    def t(v):
+        return torch.from_numpy(np.asarray(v))
+
+    def conv_t(p, xt, stride=1, groups=1, kernel=1):
+        w = t(p["kernel"]).permute(3, 2, 0, 1)
+        if groups > 1:
+            pass  # depthwise HWIO (k,k,1,C) -> (C,1,k,k) handled by permute
+        xt = _torch_same_pad(xt, kernel, stride)
+        return F.conv2d(xt, w, t(p["bias"]) if "bias" in p else None, stride=stride, groups=groups)
+
+    def bn_t(p, s, xt):
+        return F.batch_norm(xt, t(s["mean"]), t(s["var"]), t(p["scale"]), t(p["bias"]),
+                            training=False, eps=1e-3)
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    inputs = xt
+    xt = F.silu(bn_t(params["bn0"], state["bn0"], conv_t(params["expand_conv"], xt)))
+    xt = F.silu(bn_t(params["bn1"], state["bn1"],
+                     conv_t(params["depthwise_conv"], xt, stride=1, groups=96, kernel=3)))
+    se = F.adaptive_avg_pool2d(xt, 1)
+    se = F.silu(conv_t(params["se_reduce"], se))
+    se = conv_t(params["se_expand"], se)
+    xt = torch.sigmoid(se) * xt
+    xt = bn_t(params["bn2"], state["bn2"], conv_t(params["project_conv"], xt))
+    xt = xt + inputs
+    expected = xt.numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
 def test_resize_nearest_matches_torch():
     rng = np.random.RandomState(4)
     x = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)
