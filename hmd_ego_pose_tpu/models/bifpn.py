@@ -198,7 +198,10 @@ def init(key, num_channels: int, conv_channels: Tuple[int, int, int], repeats: i
     return {"cells": cells_p}, {"cells": cells_s}
 
 
-def apply(params, state, backbone_features, attention=True, training=False, axis_name=None):
+def apply(params, state, backbone_features, attention=True, training=False, axis_name=None,
+          capture=None):
+    """``capture``: optional dict collecting per-cell pyramid outputs
+    (activation-diffing harness for checkpoint parity work)."""
     features = backbone_features
     new_cells = []
     for i, (p, s) in enumerate(zip(params["cells"], state["cells"])):
@@ -207,4 +210,7 @@ def apply(params, state, backbone_features, attention=True, training=False, axis
             training=training, axis_name=axis_name,
         )
         new_cells.append(ns)
+        if capture is not None:
+            for level, feat in enumerate(features):
+                capture[f"bifpn.cell{i}.p{level + 3}"] = feat
     return features, {"cells": new_cells}

@@ -94,11 +94,17 @@ def apply(
     training: bool = False,
     rng: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
+    capture: Optional[Dict[str, Any]] = None,
 ) -> Tuple[RawOutputs, Dict[str, Any]]:
     """Forward pass: NHWC images -> raw head outputs.
 
     ``images`` are already preprocessed (normalized float).  The conv stack
     runs in ``config.compute_dtype``; outputs are float32.
+
+    ``capture``: optional dict that collects intermediate activations
+    (backbone pyramid, per-BiFPN-cell outputs) — the per-layer diffing
+    harness for validating converted reference checkpoints
+    (SURVEY.md §7 "hard parts").
     """
     x = images.astype(jnp.dtype(config.compute_dtype))
     new_state: Dict[str, Any] = {}
@@ -108,9 +114,12 @@ def apply(
         coefficient=config.backbone_coefficient,
         training=training, rng=rng, axis_name=axis_name,
     )
+    if capture is not None:
+        capture["backbone.p3"], capture["backbone.p4"], capture["backbone.p5"] = feats
     pyramid, new_state["bifpn"] = bifpn.apply(
         params["bifpn"], state["bifpn"], feats,
         attention=config.phi < 6, training=training, axis_name=axis_name,
+        capture=capture,
     )
 
     regression, new_state["regressor"] = heads.head_apply(

@@ -103,6 +103,17 @@ def test_phi1_model_family():
     assert out.hand.shape == (1, cfg.total_anchors, 63)
 
 
+def test_activation_capture():
+    cfg = small_config()
+    params, state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+    capture = {}
+    hmd_ego_pose.apply(params, state, jnp.zeros((1, 128, 128, 3)), cfg, capture=capture)
+    assert capture["backbone.p3"].shape == (1, 16, 16, 40)
+    assert capture["bifpn.cell0.p3"].shape == (1, 16, 16, 64)
+    assert capture["bifpn.cell2.p7"].shape == (1, 1, 1, 64)
+    assert len([k for k in capture if k.startswith("bifpn")]) == 3 * 5
+
+
 def test_param_count_phi0_reasonable():
     """EfficientPose-phi0 should be in the ~4M parameter regime."""
     cfg = small_config()
