@@ -28,3 +28,9 @@ from hmd_ego_pose_tpu.ops.geometry import (
 )
 from hmd_ego_pose_tpu.ops.iou import iou_matrix, iou_matrix_np
 from hmd_ego_pose_tpu.ops.nms import Detections, filter_detections, filter_detections_batch
+from hmd_ego_pose_tpu.ops.preprocess import preprocess_scale, preprocess_uint8_batch
+from hmd_ego_pose_tpu.ops.target_assign import (
+    AnchorTargets,
+    assign_targets,
+    assign_targets_batch,
+)
