@@ -181,6 +181,49 @@ def cmd_export(args):
     print(f"exported + verified StableHLO artifact in {out}")
 
 
+def cmd_parity(args):
+    """Convert a reference torch checkpoint and dump raw head outputs +
+    per-layer activation stats on a given input — the per-layer diffing
+    harness for checkpoint parity (replaces the reference's scratchpad.py
+    manual comparison flow)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from hmd_ego_pose_tpu.config import ModelConfig
+    from hmd_ego_pose_tpu.models import hmd_ego_pose
+    from hmd_ego_pose_tpu.models.weights import convert_torch_state_dict
+
+    cfg = ModelConfig(phi=args.phi, image_size=args.img_size)
+    params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+
+    if args.torch_ckpt:
+        import torch
+
+        sd = torch.load(args.torch_ckpt, map_location="cpu")
+        sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+        params, bn_state, report = convert_torch_state_dict(sd, params, bn_state, cfg, strict=not args.lenient)
+        print(f"converted: {len(report['missing'])} missing, {len(report['unused'])} unused keys")
+
+    if args.input:
+        x = np.load(args.input)
+        if x.ndim == 4 and x.shape[1] == 3:  # NCHW (the reference's input.npy) -> NHWC
+            x = x.transpose(0, 2, 3, 1)
+    else:
+        x = np.random.RandomState(0).uniform(-1, 1, size=(1, args.img_size, args.img_size, 3)).astype(np.float32)
+
+    capture = {}
+    out, _ = hmd_ego_pose.apply(params, bn_state, jnp.asarray(x), cfg, capture=capture)
+    print("\nper-layer activation stats (mean / std / absmax):")
+    for name in sorted(capture):
+        a = np.asarray(capture[name])
+        print(f"  {name:24s} {a.mean():+.6f} {a.std():.6f} {np.abs(a).max():.6f}")
+    print("\nraw head outputs (first anchor row), cf. scratchpad.py:78-87:")
+    for field in ("regression", "classification", "rotation", "translation_raw", "hand"):
+        a = np.asarray(getattr(out, field))
+        print(f"  {field:16s} {a[0, 0, :6]}")
+
+
 def cmd_make_synthetic(args):
     from hmd_ego_pose_tpu.data.synthetic import generate_synthetic_colibri
 
@@ -239,6 +282,14 @@ def main(argv=None):
     p.add_argument("--img-size", type=int, default=256)
     p.add_argument("--out-dir", default="artifacts")
     p.set_defaults(func=cmd_export)
+
+    p = sub.add_parser("parity", help="torch-checkpoint conversion + activation diffing harness")
+    p.add_argument("--torch-ckpt", default=None, help="reference .pth state_dict")
+    p.add_argument("--input", default=None, help=".npy input (NCHW or NHWC), e.g. onnx-models/input.npy")
+    p.add_argument("--phi", type=int, default=0)
+    p.add_argument("--img-size", type=int, default=256)
+    p.add_argument("--lenient", action="store_true", help="tolerate missing/extra keys")
+    p.set_defaults(func=cmd_parity)
 
     p = sub.add_parser("make-synthetic", help="generate a synthetic colibri dataset")
     p.add_argument("--out-dir", required=True)
