@@ -103,6 +103,28 @@ def i420_to_rgb(payload: np.ndarray, height: int, width: int) -> np.ndarray:
     return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
 
 
+def nv12_to_rgb(payload: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Semi-planar NV12 bytes (Y plane + interleaved UV) -> RGB8 (H, W, 3).
+
+    The reference's HoloLens video arrives as NV12
+    (unity-sandbox/WebRTCNetCoreSandbox/Program.cs:136-160).
+    """
+    y_size = height * width
+    y = np.ascontiguousarray(payload[:y_size])
+    uv = np.ascontiguousarray(payload[y_size: y_size + y_size // 2])
+
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty((height, width, 3), np.uint8)
+        lib.nv12_to_rgb(_u8ptr(y), _u8ptr(uv), height, width, width, width, _u8ptr(out))
+        return out
+
+    # numpy fallback: de-interleave UV then reuse the I420 math
+    uv2 = uv.reshape(-1, 2)
+    planar = np.concatenate([y, np.ascontiguousarray(uv2[:, 0]), np.ascontiguousarray(uv2[:, 1])])
+    return i420_to_rgb(planar, height, width)
+
+
 class FrameRing:
     """SPSC frame ring over the native buffer (threading.Queue fallback)."""
 

@@ -33,6 +33,7 @@ POSE_PACKET_BYTES = 24
 
 KIND_RGB8 = 0
 KIND_I420 = 1
+KIND_NV12 = 2
 
 
 def encode_frame_message(frame: np.ndarray, kind: int = KIND_RGB8) -> bytes:
@@ -43,7 +44,7 @@ def encode_frame_message(frame: np.ndarray, kind: int = KIND_RGB8) -> bytes:
 def payload_size(kind: int, height: int, width: int) -> int:
     if kind == KIND_RGB8:
         return height * width * 3
-    if kind == KIND_I420:
+    if kind in (KIND_I420, KIND_NV12):
         return height * width * 3 // 2
     raise ValueError(f"unknown frame kind {kind}")
 
@@ -64,6 +65,10 @@ def decode_frame_message(data: bytes) -> np.ndarray:
         from hmd_ego_pose_tpu.serving.frameio import i420_to_rgb
 
         return i420_to_rgb(payload, h, w)
+    if kind == KIND_NV12:
+        from hmd_ego_pose_tpu.serving.frameio import nv12_to_rgb
+
+        return nv12_to_rgb(payload, h, w)
     raise ValueError(f"unknown frame kind {kind}")
 
 

@@ -67,6 +67,35 @@ def test_i420_native_matches_numpy_fallback():
     np.testing.assert_allclose(native.astype(int), fallback.astype(int), atol=1)
 
 
+def test_nv12_matches_i420():
+    """NV12 and I420 of the same YUV content must decode identically."""
+    from hmd_ego_pose_tpu.serving.frameio import nv12_to_rgb
+
+    rng = np.random.RandomState(4)
+    h = w = 32
+    y = rng.randint(0, 255, size=(h * w,)).astype(np.uint8)
+    u = rng.randint(0, 255, size=(h * w // 4,)).astype(np.uint8)
+    v = rng.randint(0, 255, size=(h * w // 4,)).astype(np.uint8)
+
+    i420 = np.concatenate([y, u, v])
+    uv_interleaved = np.empty(h * w // 2, np.uint8)
+    uv_interleaved[0::2] = u
+    uv_interleaved[1::2] = v
+    nv12 = np.concatenate([y, uv_interleaved])
+
+    np.testing.assert_allclose(
+        nv12_to_rgb(nv12, h, w).astype(int), i420_to_rgb(i420, h, w).astype(int), atol=1
+    )
+    # protocol roundtrip
+    msg = protocol.encode_frame_message(nv12.reshape(-1, 1, 1), kind=protocol.KIND_NV12)
+    # encode expects (h, w, ...) shaped frame; craft header manually instead
+    import struct
+
+    msg = struct.pack(protocol.HEADER_FMT, protocol.MAGIC, protocol.KIND_NV12, h, w) + nv12.tobytes()
+    out = protocol.decode_frame_message(msg)
+    np.testing.assert_array_equal(out, nv12_to_rgb(nv12, h, w))
+
+
 def test_frame_ring():
     ring = FrameRing(frame_bytes=12, capacity=4)
     frames = [np.full((12,), i, np.uint8) for i in range(6)]
