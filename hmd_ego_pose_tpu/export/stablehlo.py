@@ -25,6 +25,7 @@ def export_inference(
     name: str = "hmd_ego_pose",
     batch_size: int = 1,
     rng_seed: int = 0,
+    fold_bn: bool = True,
 ) -> str:
     """Serialize the raw-forward program + goldens; returns the artifact dir.
 
@@ -37,6 +38,11 @@ def export_inference(
     from jax import export as jax_export
 
     from hmd_ego_pose_tpu.models import hmd_ego_pose
+
+    if fold_bn:
+        from hmd_ego_pose_tpu.models.folding import fold_batch_norms
+
+        params, bn_state = fold_batch_norms(params, bn_state, config)
 
     os.makedirs(out_dir, exist_ok=True)
 

@@ -91,17 +91,25 @@ class InferenceEngine:
         frame_shape: Tuple[int, int] = (480, 480),
         mesh=None,
         default_camera=None,
+        fold_bn: bool = True,
     ):
         """``mesh``: optional jax.sharding.Mesh — frames shard over the data
         axis for multi-chip throughput; params replicate.
         ``default_camera``: optional (6,) [fx, fy, px, py, tz_scale,
         image_scale] used for requests without explicit intrinsics — same
-        layout as the reference's camera_params*.txt files."""
+        layout as the reference's camera_params*.txt files.
+        ``fold_bn``: fold eval-mode BatchNorms into conv weights for
+        deployment (models/folding.py)."""
         import jax
         import jax.numpy as jnp
 
         from hmd_ego_pose_tpu.models import hmd_ego_pose
         from hmd_ego_pose_tpu.ops.preprocess import preprocess_uint8_batch
+
+        if fold_bn:
+            from hmd_ego_pose_tpu.models.folding import fold_batch_norms
+
+            params, bn_state = fold_batch_norms(params, bn_state, model_config)
 
         self.model_config = model_config
         self.cfg = serving_config
