@@ -133,6 +133,50 @@ def test_augment_6dof_consistency(train_dataset):
     )
 
 
+def test_augment_6dof_projection_equivariance(train_dataset):
+    """The 3-D pose update must equal the 2-D image warp: projecting a model
+    point through the augmented pose lands where the affine warp moves its
+    original projection."""
+    from hmd_ego_pose_tpu.data.image import get_rotation_matrix_2d
+    from hmd_ego_pose_tpu.ops.geometry import np_axis_angle_to_matrix
+
+    ds = train_dataset
+    img = ds.load_image(0)
+    mask = ds.load_mask(0)
+    anno = ds.load_annotations(0)
+    cam = ds.load_camera_matrix(0)
+    angle, scale = 73.0, 0.9
+
+    _, aug, ok = augment_6dof(img, mask, anno, cam, angle, scale)
+    assert ok
+
+    # pick some 3-D model points, project through the ORIGINAL pose
+    pts = ds.model_points_for_loss(16)[0]
+    r0 = np_axis_angle_to_matrix(anno["rotations"][0, :3])
+    t0 = anno["translations"][0]
+    cam_pts = pts @ r0.T + t0
+    uv0 = np.stack(
+        [cam[0, 0] * cam_pts[:, 0] / cam_pts[:, 2] + cam[0, 2],
+         cam[1, 1] * cam_pts[:, 1] / cam_pts[:, 2] + cam[1, 2]], axis=1)
+
+    # move those pixels with the image-warp affine (same matrix the augmenter used)
+    m = get_rotation_matrix_2d((cam[0, 2], cam[1, 2]), -angle, scale)
+    uv_warped = uv0 @ m[:, :2].T + m[:, 2]
+
+    # project through the AUGMENTED pose
+    r1 = np_axis_angle_to_matrix(aug["rotations"][0, :3])
+    t1 = aug["translations"][0]
+    cam_pts1 = pts @ r1.T + t1
+    uv1 = np.stack(
+        [cam[0, 0] * cam_pts1[:, 0] / cam_pts1[:, 2] + cam[0, 2],
+         cam[1, 1] * cam_pts1[:, 1] / cam_pts1[:, 2] + cam[1, 2]], axis=1)
+
+    # the in-plane rotation is exact; the scale part of the warp only
+    # approximates the Tz division (same approximation the reference makes),
+    # so compare with a tolerance proportional to the object's pixel size
+    np.testing.assert_allclose(uv1, uv_warped, atol=3.0)
+
+
 def test_input_pipeline_batches(train_dataset):
     cfg = Config(model=ModelConfig(image_size=128))
     pipe = InputPipeline(
