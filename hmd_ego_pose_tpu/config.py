@@ -233,6 +233,9 @@ class EvalConfig:
     diameter_threshold: float = 0.1
     pixel_threshold: float = 5.0  # 2-D reprojection metric
     adds_max_points: int = 1000
+    # device inference batch during evaluation (the reference is batch-1,
+    # eval/common.py:377; batching is free on TPU at this model size)
+    eval_batch_size: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -93,6 +93,12 @@ def evaluate_model(
     thr = ecfg.score_threshold if score_threshold is None else score_threshold
     size = len(dataset) if max_eval_images is None else min(len(dataset), max_eval_images)
 
+    # device inference runs in fixed-size batches (padded on the tail): at
+    # this model size batch-B costs the same wall time as batch-1, so this
+    # divides the number of dispatches by B (the reference runs strictly one
+    # image at a time, eval/common.py:377)
+    eval_batch = max(1, ecfg.eval_batch_size)
+
     model_points = dataset.get_models_3d_points_dict()[0]
     diameter = dataset.get_objects_diameter_dict()[0]
     is_symmetric = dataset.is_symmetric_object(dataset.class_labels_to_object_ids[0])
@@ -103,23 +109,43 @@ def evaluate_model(
     t_diffs, r_diffs, tip_diffs, hand_diffs = [], [], [], []
     point_errors, sym_point_errors = [], []
 
+    # chunked device inference: pad the final chunk to the fixed batch size
+    det_cache = {}
+
+    def _detections_for(i: int):
+        chunk_start = (i // eval_batch) * eval_batch
+        if chunk_start not in det_cache:
+            s = config.model.image_size
+            n = min(eval_batch, size - chunk_start)
+            images = np.zeros((eval_batch, s, s, 3), np.float32)
+            cams = np.zeros((eval_batch, 6), np.float32)
+            scales = np.ones(eval_batch, np.float32)
+            for k in range(n):
+                raw_k = dataset.load_image(chunk_start + k)
+                images[k], scales[k] = preprocess_image(raw_k, s)
+                ck = dataset.load_camera_matrix(chunk_start + k)
+                cams[k] = [ck[0, 0], ck[1, 1], ck[0, 2], ck[1, 2], 1000.0, scales[k]]
+            for k in range(n, eval_batch):
+                cams[k] = cams[0]
+            det_cache.clear()  # keep one chunk resident
+            det_cache[chunk_start] = (
+                predict_fn(params, bn_state, jnp.asarray(images), jnp.asarray(cams)),
+                scales,
+            )
+        det, scales = det_cache[chunk_start]
+        k = i - chunk_start
+        return det, k, scales[k]
+
     for i in range(size):
         raw = dataset.load_image(i)
-        image, scale = preprocess_image(raw, config.model.image_size)
         cam_k = dataset.load_camera_matrix(i)
-        cam_input = np.array(
-            [cam_k[0, 0], cam_k[1, 1], cam_k[0, 2], cam_k[1, 2], 1000.0, scale],
-            np.float32,
-        )
+        det, k, scale = _detections_for(i)
 
-        det = predict_fn(
-            params, bn_state, jnp.asarray(image[None]), jnp.asarray(cam_input[None])
-        )
-        boxes = np.asarray(det.boxes[0]) / scale
-        det_scores = np.asarray(det.scores[0])
-        rotations = np.asarray(det.rotation[0]) * math.pi
-        translations = np.asarray(det.translation[0])
-        hands = np.asarray(det.hand[0])
+        boxes = np.asarray(det.boxes[k]) / scale
+        det_scores = np.asarray(det.scores[k])
+        rotations = np.asarray(det.rotation[k]) * math.pi
+        translations = np.asarray(det.translation[k])
+        hands = np.asarray(det.hand[k])
 
         keep = np.where(det_scores > thr)[0]
         order = np.argsort(-det_scores[keep])[: ecfg.max_detections]

@@ -195,36 +195,46 @@ def test_input_pipeline_batches(train_dataset):
 
 
 class _OracleDetector:
-    """predict_fn that returns the ground truth as a single perfect detection."""
+    """predict_fn that returns the ground truth as a single perfect detection.
+
+    Handles batched evaluator calls: each call consumes the next
+    ``batch_size`` sequential dataset indices (tail rows beyond the dataset
+    are padding and stay empty)."""
 
     def __init__(self, dataset, image_size, max_detections):
         self.ds = dataset
         self.image_size = image_size
         self.k = max_detections
-        self.calls = 0
+        self.cursor = 0
 
     def __call__(self, params, state, images, cam):
-        i = self.calls
-        self.calls += 1
-        anno = self.ds.load_annotations(i)
-        scale = float(cam[0, 5])
+        b = images.shape[0]
         k = self.k
-        boxes = np.full((1, k, 4), -1, np.float32)
-        scores = np.full((1, k), -1, np.float32)
-        labels = np.full((1, k), -1, np.int32)
-        rot = np.full((1, k, 3), -1, np.float32)
-        trans = np.full((1, k, 3), -1, np.float32)
-        hand = np.full((1, k, 63), -1, np.float32)
-        boxes[0, 0] = anno["bboxes"][0] * scale
-        scores[0, 0] = 0.97
-        labels[0, 0] = 0
-        rot[0, 0] = anno["rotations"][0, :3] / math.pi
-        trans[0, 0] = anno["translations"][0]
-        hand[0, 0] = anno["coords_3d"][0].reshape(-1)
+        boxes = np.full((b, k, 4), -1, np.float32)
+        scores = np.full((b, k), -1, np.float32)
+        labels = np.full((b, k), -1, np.int32)
+        rot = np.full((b, k, 3), -1, np.float32)
+        trans = np.full((b, k, 3), -1, np.float32)
+        hand = np.full((b, k, 63), -1, np.float32)
+        num_valid = np.zeros((b,), np.int32)
+        for row in range(b):
+            i = self.cursor + row
+            if i >= len(self.ds):
+                break
+            anno = self.ds.load_annotations(i)
+            scale = float(cam[row, 5])
+            boxes[row, 0] = anno["bboxes"][0] * scale
+            scores[row, 0] = 0.97
+            labels[row, 0] = 0
+            rot[row, 0] = anno["rotations"][0, :3] / math.pi
+            trans[row, 0] = anno["translations"][0]
+            hand[row, 0] = anno["coords_3d"][0].reshape(-1)
+            num_valid[row] = 1
+        self.cursor += b
         return Detections(
             boxes=jnp.asarray(boxes), scores=jnp.asarray(scores), labels=jnp.asarray(labels),
             rotation=jnp.asarray(rot), translation=jnp.asarray(trans), hand=jnp.asarray(hand),
-            num_valid=jnp.asarray([1]),
+            num_valid=jnp.asarray(num_valid),
         )
 
 
