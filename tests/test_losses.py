@@ -183,6 +183,55 @@ def test_transformation_loss_symmetric_invariance():
     assert float(rot_asym) > 0.01
 
 
+def test_assign_targets_multiclass():
+    """num_classes > 1: one-hot labels follow the argmax GT's class."""
+    anchors, _ = anchors_for_shape((256, 256))
+    gt = np.array([[60.0, 80.0, 140.0, 180.0], [170.0, 30.0, 230.0, 110.0]], np.float32)
+    labels = np.array([1, 0], np.int32)
+    out = assign_targets(
+        jnp.asarray(anchors), jnp.asarray(gt), jnp.asarray(labels),
+        jnp.zeros((2, 8)), jnp.zeros((2, 63)), jnp.asarray([True, True]),
+        num_classes=3, image_size=256,
+    )
+    lab = np.asarray(out.labels)
+    state = np.asarray(out.state)
+    pos = state == 1
+    assert pos.sum() >= 2
+    # each positive anchor is one-hot on exactly one class, and both GT
+    # classes are represented
+    assert np.all(lab[pos].sum(axis=1) == 1.0)
+    assert lab[pos, 1].sum() > 0 and lab[pos, 0].sum() > 0
+    assert np.all(lab[~pos] == 0)
+
+
+def test_transformation_loss_selects_class_model_points():
+    """The rotation loss must rotate the model points of the GT's class."""
+    n = 8
+    state = np.zeros(n)
+    state[0] = 1.0
+    rotvec = np.array([0.0, 0.0, np.pi / 2])
+
+    # class 0: points on x-axis (rotation moves them); class 1: points on
+    # the z-axis (rotation about z leaves them fixed)
+    points = np.zeros((2, 16, 3), np.float32)
+    points[0, :, 0] = np.linspace(1, 16, 16)
+    points[1, :, 2] = np.linspace(1, 16, 16)
+
+    def loss_for_class(cls):
+        gt = np.zeros((n, 8), np.float32)
+        gt[:, :3] = 0.0  # identity target
+        gt[:, 7] = cls
+        pred = np.zeros((n, 6), np.float32)
+        pred[:, :3] = rotvec / np.pi
+        rot_l, _ = transformation_loss(
+            jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(state), jnp.asarray(points)
+        )
+        return float(rot_l)
+
+    assert loss_for_class(0) > 1.0  # x-axis points move under a z-rotation
+    assert loss_for_class(1) < 1e-4  # z-axis points are invariant
+
+
 def test_transformation_loss_gradient_recovers_rotation():
     """Gradient descent through the transformation loss must recover the GT
     rotation — guards the Rodrigues/axis-angle gradient path."""
