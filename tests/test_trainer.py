@@ -64,6 +64,49 @@ def test_trainer_one_epoch(synthetic_root, tmp_path, monkeypatch):
     assert sum(1 for _ in open(logger.jsonl_path)) >= 2
 
 
+def test_resume_from_checkpoint_continues_training(synthetic_root, tmp_path, monkeypatch):
+    """Checkpoint -> restore -> further training: the resume path the
+    reference left as dead code (train.py:132-146) must actually work."""
+    from hmd_ego_pose_tpu.eval.evaluator import EvalResult
+    import hmd_ego_pose_tpu.train.trainer as trainer_mod
+
+    monkeypatch.setattr(
+        trainer_mod, "evaluate_model",
+        lambda *a, **k: EvalResult(mixed_point_distance_mean_mm=42.0),
+    )
+
+    cfg = Config(
+        model=ModelConfig(phi=0, image_size=128),
+        train=TrainConfig(batch_size=2, learning_rate=1e-4, epochs=1, oversample=1,
+                          freeze_backbone=False, checkpoint_dir=str(tmp_path / "ckpt")),
+        data=DataConfig(use_6dof_augmentation=False, use_colorspace_augmentation=False,
+                        num_workers=1),
+    )
+    train_ds = ColibriDataset(synthetic_root, fold=0, partition="train")
+    val_ds = ColibriDataset(synthetic_root, fold=0, partition="val")
+
+    logger = MetricLogger(log_dir=str(tmp_path / "runs"), stdout=False)
+    t1 = Trainer(cfg, train_ds, val_ds, logger=logger)
+    best = t1.fit(epochs=1)
+    assert best is not None
+
+    params, bn_state, meta = restore_checkpoint(best)
+    # restored weights equal the trained ones
+    a = jax.tree.leaves(jax.device_get(t1.state.params))
+    b = jax.tree.leaves(params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # resume: a new trainer from the restored weights trains further
+    t2 = Trainer(cfg, train_ds, val_ds, logger=logger, params=params, bn_state=bn_state)
+    t2.fit(epochs=1)
+    moved = [
+        float(np.max(np.abs(np.asarray(x) - np.asarray(y))))
+        for x, y in zip(jax.tree.leaves(jax.device_get(t2.state.params)), b)
+    ]
+    assert max(moved) > 0  # parameters kept training after the restore
+
+
 def test_checkpoint_orbax_backend(tmp_path):
     pytest.importorskip("orbax.checkpoint")
     tree = {"a": {"b": np.arange(6.0).reshape(2, 3)}, "c": [np.ones(4), np.zeros(2)]}
