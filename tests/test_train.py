@@ -100,6 +100,24 @@ def test_freeze_backbone_keeps_backbone_params(model_points):
     assert max(jax.tree.leaves(moved)) > 0
 
 
+def test_fine_tune_sgd_path(model_points):
+    """fine_tune=True uses SGD+Nesterov (reference train.py:99-104)."""
+    cfg = Config(
+        model=ModelConfig(phi=0, image_size=128),
+        train=TrainConfig(batch_size=2, learning_rate=1e-3, fine_tune=True,
+                          freeze_backbone=False),
+    )
+    rng = np.random.RandomState(9)
+    params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg.model)
+    step = make_train_step(cfg, model_points)
+    state = step.init_state(params, bn_state)
+    assert get_learning_rate(state, cfg.train) == pytest.approx(1e-3)
+    batch = synthetic_batch(rng, 2)
+    new_state, metrics = step.jitted(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
 def test_learning_rate_injection(model_points):
     cfg = tiny_config(freeze_backbone=True)
     params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg.model)
