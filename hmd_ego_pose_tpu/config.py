@@ -11,7 +11,7 @@ hashable (usable as jit static args), serializable, and validated at constructio
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 # ---------------------------------------------------------------------------
 # Anchors

@@ -21,15 +21,14 @@ Annotation schema (per frame, single object):
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 import yaml
 
-from hmd_ego_pose_tpu.config import DataConfig
 from hmd_ego_pose_tpu.data.image import imread_rgb
 from hmd_ego_pose_tpu.data.ply import load_ply_vertices
-from hmd_ego_pose_tpu.ops.geometry import matrix_to_axis_angle, np_axis_angle_to_matrix
+from hmd_ego_pose_tpu.ops.geometry import matrix_to_axis_angle
 
 
 def get_bbox_from_mask(mask: np.ndarray, mask_value: Optional[int] = None):

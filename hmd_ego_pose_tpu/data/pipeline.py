@@ -10,8 +10,6 @@ per-image ground truth to a fixed K.  A background thread pool keeps
 
 from __future__ import annotations
 
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 

@@ -14,7 +14,7 @@ practice and keeps the rotated-point tensor (P x 500 x 3) tiny.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -13,12 +13,10 @@ hmdegopose/layers.py:260-530).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hmd_ego_pose_tpu.config import ModelConfig
 from hmd_ego_pose_tpu.models import bifpn, efficientnet, heads

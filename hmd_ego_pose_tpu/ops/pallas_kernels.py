@@ -17,7 +17,6 @@ else (CPU tests run the kernels in interpret mode for parity).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

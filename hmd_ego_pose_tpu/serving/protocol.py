@@ -22,7 +22,7 @@ cleared the score threshold.
 from __future__ import annotations
 
 import struct
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

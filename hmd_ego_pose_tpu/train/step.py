@@ -11,7 +11,6 @@ and BatchNorm reductions become ICI collectives automatically.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -17,7 +17,6 @@ import time
 from typing import Callable, Dict, Optional
 
 import jax
-import numpy as np
 
 from hmd_ego_pose_tpu.config import Config
 from hmd_ego_pose_tpu.data.pipeline import InputPipeline
