@@ -71,6 +71,15 @@ def warp_affine(
     w, h = out_size
     inv = _invert_affine(matrix)
 
+    # native C++ fast path for uint8 (the training-augmentation hot loop;
+    # ~20x the numpy gather below)
+    if np.issubdtype(image.dtype, np.uint8):
+        from hmd_ego_pose_tpu.serving.frameio import warp_affine_u8
+
+        native = warp_affine_u8(image, inv, out_size, interpolation)
+        if native is not None:
+            return native
+
     ys, xs = np.mgrid[0:h, 0:w]
     src_x = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
     src_y = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]

@@ -13,11 +13,12 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC frameio.cpp -o libframeio.so
 
-#include <atomic>
-#include <cstdint>
-#include <cstring>
-#include <cstdlib>
 #include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
 
 namespace {
 
@@ -62,6 +63,70 @@ void nv12_to_rgb(const uint8_t* y_plane, const uint8_t* uv_plane, int height,
     for (int col = 0; col < width; ++col) {
       const int c2 = (col / 2) * 2;
       yuv_to_rgb(yrow[col], uvrow[c2], uvrow[c2 + 1], orow + col * 3);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Affine warp (cv2.warpAffine semantics: inverse mapping, zero border).
+// The 6-DoF training augmentation warps every image+mask on the host
+// (reference: cv2.warpAffine in generators/colibri_common.py:467-471); in
+// numpy this costs ~0.5 s/frame at 480^2 and starves the TPU.  inv_m is the
+// INVERSE 2x3 affine (dst -> src), row-major [a b c; d e f].
+// ---------------------------------------------------------------------------
+
+void warp_affine_bilinear_u8(const uint8_t* src, int src_h, int src_w,
+                             int channels, const double* inv_m,
+                             uint8_t* dst, int dst_h, int dst_w) {
+  for (int y = 0; y < dst_h; ++y) {
+    const double base_x = inv_m[1] * y + inv_m[2];
+    const double base_y = inv_m[4] * y + inv_m[5];
+    uint8_t* orow = dst + static_cast<int64_t>(y) * dst_w * channels;
+    for (int x = 0; x < dst_w; ++x) {
+      const double sx = inv_m[0] * x + base_x;
+      const double sy = inv_m[3] * x + base_y;
+      const int x0 = static_cast<int>(std::floor(sx));
+      const int y0 = static_cast<int>(std::floor(sy));
+      const double fx = sx - x0;
+      const double fy = sy - y0;
+      for (int c = 0; c < channels; ++c) {
+        double acc = 0.0;
+        for (int dy = 0; dy < 2; ++dy) {
+          const int yy = y0 + dy;
+          if (yy < 0 || yy >= src_h) continue;
+          const double wy = dy ? fy : 1.0 - fy;
+          for (int dx = 0; dx < 2; ++dx) {
+            const int xx = x0 + dx;
+            if (xx < 0 || xx >= src_w) continue;
+            const double wx = dx ? fx : 1.0 - fx;
+            acc += wy * wx *
+                   src[(static_cast<int64_t>(yy) * src_w + xx) * channels + c];
+          }
+        }
+        double v = acc + 0.5;
+        orow[x * channels + c] = clamp_u8(static_cast<int>(v));
+      }
+    }
+  }
+}
+
+void warp_affine_nearest_u8(const uint8_t* src, int src_h, int src_w,
+                            int channels, const double* inv_m, uint8_t* dst,
+                            int dst_h, int dst_w) {
+  for (int y = 0; y < dst_h; ++y) {
+    const double base_x = inv_m[1] * y + inv_m[2];
+    const double base_y = inv_m[4] * y + inv_m[5];
+    uint8_t* orow = dst + static_cast<int64_t>(y) * dst_w * channels;
+    for (int x = 0; x < dst_w; ++x) {
+      const int sx = static_cast<int>(std::lround(inv_m[0] * x + base_x));
+      const int sy = static_cast<int>(std::lround(inv_m[3] * x + base_y));
+      if (sx < 0 || sx >= src_w || sy < 0 || sy >= src_h) {
+        for (int c = 0; c < channels; ++c) orow[x * channels + c] = 0;
+      } else {
+        const uint8_t* s =
+            src + (static_cast<int64_t>(sy) * src_w + sx) * channels;
+        for (int c = 0; c < channels; ++c) orow[x * channels + c] = s[c];
+      }
     }
   }
 }

@@ -65,6 +65,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ring_pop.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64]
         lib.ring_size.restype = ctypes.c_int64
         lib.ring_size.argtypes = [ctypes.c_void_p]
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.warp_affine_bilinear_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                                ctypes.c_int, dp, u8p,
+                                                ctypes.c_int, ctypes.c_int]
+        lib.warp_affine_nearest_u8.argtypes = lib.warp_affine_bilinear_u8.argtypes
         _lib = lib
         return _lib
 
@@ -101,6 +106,30 @@ def i420_to_rgb(payload: np.ndarray, height: int, width: int) -> np.ndarray:
     g = (298 * c - 100 * d - 208 * e + 128) >> 8
     b = (298 * c + 516 * d + 128) >> 8
     return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+
+
+def warp_affine_u8(
+    image: np.ndarray, inv_matrix: np.ndarray, out_size, interpolation: str
+) -> Optional[np.ndarray]:
+    """Native affine warp of a uint8 image (cv2 semantics, zero border).
+
+    ``inv_matrix``: INVERSE (dst->src) 2x3 affine.  Returns None when the
+    native library is unavailable (caller falls back to numpy).
+    """
+    lib = get_lib()
+    if lib is None or image.dtype != np.uint8:
+        return None
+    squeeze = image.ndim == 2
+    img = image[:, :, None] if squeeze else image
+    img = np.ascontiguousarray(img)
+    h, w, c = img.shape
+    ow, oh = out_size
+    out = np.empty((oh, ow, c), np.uint8)
+    m = np.ascontiguousarray(inv_matrix.reshape(6).astype(np.float64))
+    fn = lib.warp_affine_nearest_u8 if interpolation == "nearest" else lib.warp_affine_bilinear_u8
+    fn(_u8ptr(img), h, w, c, m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+       _u8ptr(out), oh, ow)
+    return out[:, :, 0] if squeeze else out
 
 
 def nv12_to_rgb(payload: np.ndarray, height: int, width: int) -> np.ndarray:

@@ -96,6 +96,34 @@ def test_nv12_matches_i420():
     np.testing.assert_array_equal(out, nv12_to_rgb(nv12, h, w))
 
 
+def test_native_warp_matches_numpy():
+    """C++ warp_affine must be pixel-exact vs the numpy reference (the
+    training augmentation hot loop runs through it)."""
+    import hmd_ego_pose_tpu.serving.frameio as fio
+    from hmd_ego_pose_tpu.data.image import get_rotation_matrix_2d, warp_affine
+
+    if fio.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 255, size=(96, 128, 3)).astype(np.uint8)
+    m = get_rotation_matrix_2d((64, 48), -37.0, 1.15)
+
+    native_bl = warp_affine(img, m, (128, 96), "bilinear")
+    native_nn = warp_affine(img[:, :, 0], m, (128, 96), "nearest")
+
+    lib = fio._lib
+    fio._lib, fio._build_failed = None, True
+    try:
+        np_bl = warp_affine(img, m, (128, 96), "bilinear")
+        np_nn = warp_affine(img[:, :, 0], m, (128, 96), "nearest")
+    finally:
+        fio._lib, fio._build_failed = lib, False
+
+    np.testing.assert_array_equal(native_bl, np_bl)
+    np.testing.assert_array_equal(native_nn, np_nn)
+
+
 def test_frame_ring():
     ring = FrameRing(frame_bytes=12, capacity=4)
     frames = [np.full((12,), i, np.uint8) for i in range(6)]
