@@ -183,6 +183,88 @@ def test_mbconv_block_matches_torch_composite():
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
 
 
+def test_bifpn_first_cell_matches_torch_composite():
+    """Full first BiFPN cell vs a torch re-derivation with identical weights:
+    covers down-channel aligners, P6/P7 synthesis, fast-attention fusion,
+    zero-padded max-pool downsampling, and nearest upsampling."""
+    import jax
+    import jax.numpy as jnp2
+
+    from hmd_ego_pose_tpu.models.bifpn import cell_apply, cell_init
+
+    num_ch, conv_ch = 16, (8, 12, 20)
+    params, state = cell_init(jax.random.PRNGKey(0), num_ch, conv_ch, first_time=True)
+    rng = np.random.RandomState(0)
+    p3 = rng.normal(size=(1, 16, 16, 8)).astype(np.float32)
+    p4 = rng.normal(size=(1, 8, 8, 12)).astype(np.float32)
+    p5 = rng.normal(size=(1, 4, 4, 20)).astype(np.float32)
+
+    (o3, o4, o5, o6, o7), _ = cell_apply(
+        params, state, (jnp2.asarray(p3), jnp2.asarray(p4), jnp2.asarray(p5)),
+        first_time=True, attention=True,
+    )
+
+    # ---- torch re-derivation ----
+    def t(v):
+        return torch.from_numpy(np.asarray(v))
+
+    def conv(p, xt, kernel=1, stride=1, groups=1):
+        w = t(p["kernel"]).permute(3, 2, 0, 1)
+        xt = _torch_same_pad(xt, kernel, stride)
+        return F.conv2d(xt, w, t(p["bias"]) if "bias" in p else None, stride=stride, groups=groups)
+
+    def bn(p, s, xt):
+        return F.batch_norm(xt, t(s["mean"]), t(s["var"]), t(p["scale"]), t(p["bias"]),
+                            training=False, eps=1e-3)
+
+    def align(name, xt):
+        return bn(params[name]["bn"], state[name]["bn"], conv(params[name]["conv"], xt))
+
+    def sep(name, xt):
+        node, s = params[name], state[name]
+        ch = node["depthwise"]["kernel"].shape[3]
+        xt = conv(node["depthwise"], xt, kernel=3, groups=ch)
+        xt = conv(node["pointwise"], xt)
+        return bn(node["bn"], s["bn"], xt)
+
+    def pool(xt):  # zero-padded SAME max pool, stride 2
+        return F.max_pool2d(_torch_same_pad(xt, 3, 2), 3, 2)
+
+    def fuse(wname, tensors):
+        w = F.relu(t(params[wname]))
+        w = w / (w.sum() + 1e-4)
+        return F.silu(sum(w[i] * x for i, x in enumerate(tensors)))
+
+    up = lambda xt: F.interpolate(xt, scale_factor=2, mode="nearest")
+
+    p3t = torch.from_numpy(p3.transpose(0, 3, 1, 2))
+    p4t = torch.from_numpy(p4.transpose(0, 3, 1, 2))
+    p5t = torch.from_numpy(p5.transpose(0, 3, 1, 2))
+
+    p6_in = pool(align("p5_to_p6", p5t))
+    p7_in = pool(p6_in)
+    p3_in = align("p3_down_channel", p3t)
+    p4_in = align("p4_down_channel", p4t)
+    p5_in = align("p5_down_channel", p5t)
+
+    p6_up = sep("conv6_up", fuse("p6_w1", [p6_in, up(p7_in)]))
+    p5_up = sep("conv5_up", fuse("p5_w1", [p5_in, up(p6_up)]))
+    p4_up = sep("conv4_up", fuse("p4_w1", [p4_in, up(p5_up)]))
+    p3_out = sep("conv3_up", fuse("p3_w1", [p3_in, up(p4_up)]))
+
+    p4_in2 = align("p4_down_channel_2", p4t)
+    p5_in2 = align("p5_down_channel_2", p5t)
+    p4_out = sep("conv4_down", fuse("p4_w2", [p4_in2, p4_up, pool(p3_out)]))
+    p5_out = sep("conv5_down", fuse("p5_w2", [p5_in2, p5_up, pool(p4_out)]))
+    p6_out = sep("conv6_down", fuse("p6_w2", [p6_in, p6_up, pool(p5_out)]))
+    p7_out = sep("conv7_down", fuse("p7_w2", [p7_in, pool(p6_out)]))
+
+    for ours, theirs in ((o3, p3_out), (o4, p4_out), (o5, p5_out), (o6, p6_out), (o7, p7_out)):
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_resize_nearest_matches_torch():
     rng = np.random.RandomState(4)
     x = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)
