@@ -128,6 +128,10 @@ def head_apply(
             iter_states.append(it_s)
         outs.append(_flatten_anchors(pred, out_dim))
     if iter_states:
+        # the refinement subnet's BN stacks are shared across pyramid levels
+        # (as in the reference, hmdegopose/model.py:248-249); we keep the last
+        # level's running-stat update per step rather than chaining updates
+        # through all five levels — a negligible difference in EMA statistics
         new_state["iter"] = iter_states[-1]
     return jnp.concatenate(outs, axis=1), new_state
 
