@@ -131,6 +131,20 @@ def resize_bilinear(image: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     if (oh, ow) == (ih, iw):
         return image.copy()
 
+    # native fast path: a resize is an affine warp with a diagonal matrix
+    # (inverse map src = (dst + 0.5)/s - 0.5); every source sample is in
+    # bounds so the zero border never triggers
+    if np.issubdtype(image.dtype, np.uint8):
+        from hmd_ego_pose_tpu.serving.frameio import warp_affine_u8
+
+        sx, sy = ow / iw, oh / ih
+        inv = np.array(
+            [[1.0 / sx, 0.0, 0.5 / sx - 0.5], [0.0, 1.0 / sy, 0.5 / sy - 0.5]]
+        )
+        native = warp_affine_u8(image, inv, (ow, oh), "bilinear", border="clamp")
+        if native is not None:
+            return native
+
     ys = (np.arange(oh) + 0.5) * ih / oh - 0.5
     xs = (np.arange(ow) + 0.5) * iw / ow - 0.5
     y0 = np.floor(ys).astype(np.int64)

@@ -75,9 +75,12 @@ void nv12_to_rgb(const uint8_t* y_plane, const uint8_t* uv_plane, int height,
 // INVERSE 2x3 affine (dst -> src), row-major [a b c; d e f].
 // ---------------------------------------------------------------------------
 
+// border_mode: 0 = constant zero (cv2.warpAffine default), 1 = clamp to
+// edge (the convention of the resize path).
 void warp_affine_bilinear_u8(const uint8_t* src, int src_h, int src_w,
                              int channels, const double* inv_m,
-                             uint8_t* dst, int dst_h, int dst_w) {
+                             uint8_t* dst, int dst_h, int dst_w,
+                             int border_mode) {
   for (int y = 0; y < dst_h; ++y) {
     const double base_x = inv_m[1] * y + inv_m[2];
     const double base_y = inv_m[4] * y + inv_m[5];
@@ -92,19 +95,26 @@ void warp_affine_bilinear_u8(const uint8_t* src, int src_h, int src_w,
       for (int c = 0; c < channels; ++c) {
         double acc = 0.0;
         for (int dy = 0; dy < 2; ++dy) {
-          const int yy = y0 + dy;
-          if (yy < 0 || yy >= src_h) continue;
+          int yy = y0 + dy;
           const double wy = dy ? fy : 1.0 - fy;
+          if (yy < 0 || yy >= src_h) {
+            if (border_mode == 0) continue;
+            yy = yy < 0 ? 0 : src_h - 1;
+          }
           for (int dx = 0; dx < 2; ++dx) {
-            const int xx = x0 + dx;
-            if (xx < 0 || xx >= src_w) continue;
+            int xx = x0 + dx;
             const double wx = dx ? fx : 1.0 - fx;
+            if (xx < 0 || xx >= src_w) {
+              if (border_mode == 0) continue;
+              xx = xx < 0 ? 0 : src_w - 1;
+            }
             acc += wy * wx *
                    src[(static_cast<int64_t>(yy) * src_w + xx) * channels + c];
           }
         }
-        double v = acc + 0.5;
-        orow[x * channels + c] = clamp_u8(static_cast<int>(v));
+        // half-to-even rounding to match numpy's np.round exactly
+        orow[x * channels + c] =
+            clamp_u8(static_cast<int>(std::nearbyint(acc)));
       }
     }
   }

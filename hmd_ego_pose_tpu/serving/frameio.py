@@ -68,8 +68,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         dp = ctypes.POINTER(ctypes.c_double)
         lib.warp_affine_bilinear_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
                                                 ctypes.c_int, dp, u8p,
-                                                ctypes.c_int, ctypes.c_int]
-        lib.warp_affine_nearest_u8.argtypes = lib.warp_affine_bilinear_u8.argtypes
+                                                ctypes.c_int, ctypes.c_int,
+                                                ctypes.c_int]
+        lib.warp_affine_nearest_u8.argtypes = lib.warp_affine_bilinear_u8.argtypes[:-1]
         _lib = lib
         return _lib
 
@@ -109,12 +110,15 @@ def i420_to_rgb(payload: np.ndarray, height: int, width: int) -> np.ndarray:
 
 
 def warp_affine_u8(
-    image: np.ndarray, inv_matrix: np.ndarray, out_size, interpolation: str
+    image: np.ndarray, inv_matrix: np.ndarray, out_size, interpolation: str,
+    border: str = "zero",
 ) -> Optional[np.ndarray]:
-    """Native affine warp of a uint8 image (cv2 semantics, zero border).
+    """Native affine warp of a uint8 image (cv2 semantics).
 
-    ``inv_matrix``: INVERSE (dst->src) 2x3 affine.  Returns None when the
-    native library is unavailable (caller falls back to numpy).
+    ``inv_matrix``: INVERSE (dst->src) 2x3 affine.  ``border``: "zero"
+    (cv2.warpAffine default) or "clamp" (edge replicate, the resize
+    convention).  Returns None when the native library is unavailable
+    (caller falls back to numpy).
     """
     lib = get_lib()
     if lib is None or image.dtype != np.uint8:
@@ -126,9 +130,12 @@ def warp_affine_u8(
     ow, oh = out_size
     out = np.empty((oh, ow, c), np.uint8)
     m = np.ascontiguousarray(inv_matrix.reshape(6).astype(np.float64))
-    fn = lib.warp_affine_nearest_u8 if interpolation == "nearest" else lib.warp_affine_bilinear_u8
-    fn(_u8ptr(img), h, w, c, m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-       _u8ptr(out), oh, ow)
+    mp = m.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    if interpolation == "nearest":
+        lib.warp_affine_nearest_u8(_u8ptr(img), h, w, c, mp, _u8ptr(out), oh, ow)
+    else:
+        lib.warp_affine_bilinear_u8(_u8ptr(img), h, w, c, mp, _u8ptr(out), oh, ow,
+                                    1 if border == "clamp" else 0)
     return out[:, :, 0] if squeeze else out
 
 

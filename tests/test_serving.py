@@ -123,6 +123,22 @@ def test_native_warp_matches_numpy():
     np.testing.assert_array_equal(native_bl, np_bl)
     np.testing.assert_array_equal(native_nn, np_nn)
 
+    # native resize path (clamp border): exact on downscale, <=1 LSB on the
+    # rare exact-.5 rounding ties when upscaling
+    from hmd_ego_pose_tpu.data.image import resize_bilinear
+
+    big = rng.randint(0, 255, size=(200, 240, 3)).astype(np.uint8)
+    native_down = resize_bilinear(big, (100, 120))
+    native_up = resize_bilinear(img, (192, 256))
+    fio._lib, fio._build_failed = None, True
+    try:
+        np_down = resize_bilinear(big, (100, 120))
+        np_up = resize_bilinear(img, (192, 256))
+    finally:
+        fio._lib, fio._build_failed = lib, False
+    np.testing.assert_array_equal(native_down, np_down)
+    np.testing.assert_allclose(native_up.astype(int), np_up.astype(int), atol=1)
+
 
 def test_frame_ring():
     ring = FrameRing(frame_bytes=12, capacity=4)
