@@ -66,7 +66,7 @@ def main(num_frames=96, epochs=25, batch_size=8, image_size=256):
 
     lines = [
         "# Synthetic-dataset training validation (TPU)", "",
-        f"- {len(train_ds)} train frames, {epochs} epochs x2 oversample, batch {batch_size}, {wall:.0f}s wall",
+        f"- {len(train_ds)} train frames, {epochs} epochs x10 oversample, batch {batch_size}, {wall:.0f}s wall",
         f"- mean AP:                  {before.mean_ap:.3f} -> {after.mean_ap:.3f}",
         f"- ADD accuracy:             {before.add_accuracy:.3f} -> {after.add_accuracy:.3f}",
         f"- mixed point distance mm:  {before.mixed_point_distance_mean_mm:.1f} -> {after.mixed_point_distance_mean_mm:.1f}",
