@@ -63,3 +63,37 @@ def test_plateau_matches_torch_scheduler():
         ours_lr = ours.step(m)
         torch_lr = opt.param_groups[0]["lr"]
         assert ours_lr == pytest.approx(torch_lr), (m, ours_lr, torch_lr)
+
+
+def test_dryrun_multichip_inprocess():
+    """Driver multi-chip dryrun runs in-process when devices are available."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_bootstraps_subprocess(monkeypatch):
+    """With too few devices, dryrun re-execs with a forced virtual CPU mesh."""
+    import __graft_entry__ as g
+
+    calls = {}
+
+    class _Result:
+        returncode = 0
+
+    def fake_run(cmd, cwd=None, env=None):
+        calls["cmd"], calls["cwd"], calls["env"] = cmd, cwd, env
+        return _Result()
+
+    monkeypatch.setattr(g.subprocess, "run", fake_run)
+    monkeypatch.setattr(jax, "devices", lambda: jax.devices("cpu")[:1])
+    g.dryrun_multichip(4)
+
+    env = calls["env"]
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "--xla_force_host_platform_device_count=4" in env["XLA_FLAGS"]
+    # must not carry a stale device-count flag from the parent env
+    assert env["XLA_FLAGS"].count("xla_force_host_platform_device_count") == 1
+    assert "_dryrun_multichip_impl(4)" in calls["cmd"][-1]
