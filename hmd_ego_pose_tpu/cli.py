@@ -66,6 +66,10 @@ def cmd_train(args):
     train_ds = ColibriDataset(args.dataset_path, args.fold, args.object_id, "train")
     val_ds = ColibriDataset(args.dataset_path, args.fold, args.object_id, "val")
 
+    from hmd_ego_pose_tpu.utils.model_stats import format_model_stats
+
+    print(format_model_stats(cfg.model, batch_size=1))
+
     params = bn_state = None
     if args.ckpt:
         params, bn_state, meta = restore_checkpoint(args.ckpt)
@@ -80,7 +84,7 @@ def cmd_train(args):
 def cmd_evaluate(args):
     from hmd_ego_pose_tpu.data.colibri import ColibriDataset
     from hmd_ego_pose_tpu.models import hmd_ego_pose
-    from hmd_ego_pose_tpu.eval.evaluator import evaluate_model
+    from hmd_ego_pose_tpu.eval.evaluator import evaluate_model, format_report
     from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
     from hmd_ego_pose_tpu.train.step import make_eval_forward
 
@@ -91,6 +95,7 @@ def cmd_evaluate(args):
     result = evaluate_model(
         ds, predict_fn, params, bn_state, cfg, save_path=args.save_images_path
     )
+    print(format_report(result))
     print(json.dumps(result.scalars(), indent=2))
 
 
@@ -233,6 +238,17 @@ def cmd_make_synthetic(args):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even when a sitecustomize preimported jax and
+    # already consumed the env var (the backend initializes lazily, so a
+    # config update before the first device query still wins)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     parser = argparse.ArgumentParser(prog="hmd_ego_pose_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

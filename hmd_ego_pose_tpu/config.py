@@ -109,9 +109,9 @@ class ModelConfig:
     num_hand_parameters: int = 63  # 21 joints x 3
     iter_steps: int = 0  # iterative refinement subnet steps (backbone.py:75-97)
     anchors: AnchorConfig = dataclasses.field(default_factory=AnchorConfig)
-    # BN constants, documented here; the model modules pin the same values
-    # (torch convention: new = (1-m)*old + m*batch; reference momentum 0.01,
-    # eps 1e-3 everywhere, efficientdet/model.py:36)
+    # BN constants — single source of truth, threaded by hmd_ego_pose.apply
+    # through backbone/BiFPN/heads (torch convention: new = (1-m)*old +
+    # m*batch; reference momentum 0.01, eps 1e-3, efficientdet/model.py:36)
     bn_momentum: float = 0.01
     bn_epsilon: float = 1e-3
     fusion_epsilon: float = 1e-4  # BiFPN fast-attention epsilon (efficientdet/model.py:72)

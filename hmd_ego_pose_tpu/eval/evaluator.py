@@ -62,6 +62,43 @@ class EvalResult:
         return dataclasses.asdict(self)
 
 
+def format_report(result: EvalResult) -> str:
+    """Human-readable 17-metric report, mirroring the reference's per-epoch
+    printout (pytorch-sandbox/eval/common.py:268-292) line for line, including
+    the derived Summed_Translation_Rotation_Error."""
+    r = result
+    summed = (
+        r.translation_error_mean_mm + r.translation_error_std_mm
+        + r.rotation_error_mean_deg + r.rotation_error_std_deg
+    )
+    lines = [
+        f"mAP: {r.mean_ap:.4f}",
+        f"ADD: {r.add_accuracy:.4f}",
+        f"ADD-S: {r.add_s_accuracy:.4f}",
+        f"5cm_5degree: {r.accuracy_5cm_5degree:.4f}",
+        "_________________",
+        f"TranslationErrorMean_in_mm: {r.translation_error_mean_mm:.4f}",
+        f"TranslationErrorStd_in_mm: {r.translation_error_std_mm:.4f}",
+        f"RotationErrorMean_in_degree: {r.rotation_error_mean_deg:.4f}",
+        f"RotationErrorStd_in_degree: {r.rotation_error_std_deg:.4f}",
+        f"TranslationErrorTipMean_in_mm: {r.tip_error_mean_mm:.4f}",
+        f"TranslationErrorTipStd_in_mm: {r.tip_error_std_mm:.4f}",
+        f"TranslationErrorHandMean_in_mm: {r.hand_error_mean_mm:.4f}",
+        f"TranslationErrorHandStd_in_mm: {r.hand_error_std_mm:.4f}",
+        "_________________",
+        f"2D-Projection: {r.accuracy_2d_projection:.4f}",
+        f"Summed_Translation_Rotation_Error: {summed:.4f}",
+        f"ADD(-S): {r.mixed_add_and_add_s_accuracy:.4f}",
+        f"AveragePointDistanceMean_in_mm: {r.point_distance_mean_mm:.4f}",
+        f"AveragePointDistanceStd_in_mm: {r.point_distance_std_mm:.4f}",
+        f"AverageSymmetricPointDistanceMean_in_mm: {r.sym_point_distance_mean_mm:.4f}",
+        f"AverageSymmetricPointDistanceStd_in_mm: {r.sym_point_distance_std_mm:.4f}",
+        f"MixedAveragePointDistanceMean_in_mm: {r.mixed_point_distance_mean_mm:.4f}",
+        f"MixedAveragePointDistanceStd_in_mm: {r.mixed_point_distance_std_mm:.4f}",
+    ]
+    return "\n".join(lines)
+
+
 def evaluate_model(
     dataset,
     predict_fn,
@@ -137,7 +174,9 @@ def evaluate_model(
         return det, k, scales[k]
 
     for i in range(size):
-        raw = dataset.load_image(i)
+        # full image pixels are only needed for overlay rendering; the
+        # detection path already decoded the image inside _detections_for
+        raw = dataset.load_image(i) if save_path is not None else None
         cam_k = dataset.load_camera_matrix(i)
         det, k, scale = _detections_for(i)
 

@@ -31,8 +31,9 @@ from hmd_ego_pose_tpu.nn.core import (
     swish,
 )
 
-BN_MOMENTUM = 0.01
-BN_EPS = 1e-3
+# BN defaults 0.01/1e-3 and fast-attention fusion epsilon 1e-4
+# (efficientdet/model.py:14-52,72); single source of truth is ModelConfig —
+# hmd_ego_pose.apply threads bn_momentum/bn_epsilon/fusion_epsilon here.
 
 
 # ---------------------------------------------------------------------------
@@ -53,13 +54,14 @@ def sep_conv_init(key, in_ch: int, out_ch: int, norm: bool = True):
     return params, state
 
 
-def sep_conv_apply(params, state, x, training=False, axis_name=None):
+def sep_conv_apply(params, state, x, training=False, axis_name=None,
+                   bn_momentum=0.01, bn_eps=1e-3):
     x = depthwise_conv_apply(params["depthwise"], x)
     x = conv_apply(params["pointwise"], x)
     new_state = {}
     if "bn" in params:
         x, new_state["bn"] = batch_norm_apply(
-            params["bn"], state["bn"], x, training, BN_MOMENTUM, BN_EPS, axis_name
+            params["bn"], state["bn"], x, training, bn_momentum, bn_eps, axis_name
         )
     return x, new_state
 
@@ -71,9 +73,9 @@ def _channel_align_init(key, in_ch: int, out_ch: int):
     return params, {"bn": state_bn}
 
 
-def _channel_align_apply(params, state, x, training, axis_name):
+def _channel_align_apply(params, state, x, training, axis_name, bn_momentum, bn_eps):
     x = conv_apply(params["conv"], x)
-    x, bn = batch_norm_apply(params["bn"], state["bn"], x, training, BN_MOMENTUM, BN_EPS, axis_name)
+    x, bn = batch_norm_apply(params["bn"], state["bn"], x, training, bn_momentum, bn_eps, axis_name)
     return x, {"bn": bn}
 
 
@@ -134,17 +136,22 @@ def cell_apply(
     attention: bool = True,
     training: bool = False,
     axis_name: Optional[str] = None,
+    bn_momentum: float = 0.01,
+    bn_eps: float = 1e-3,
+    fusion_eps: float = 1e-4,
 ):
     """One BiFPN cell: 5-level in (or 3-level backbone in if first), 5-level out."""
     new_state: Dict[str, Any] = {}
 
     def sep(name, x):
-        y, s = sep_conv_apply(params[name], state[name], x, training, axis_name)
+        y, s = sep_conv_apply(params[name], state[name], x, training, axis_name,
+                              bn_momentum, bn_eps)
         new_state[name] = s
         return y
 
     def align(name, x):
-        y, s = _channel_align_apply(params[name], state[name], x, training, axis_name)
+        y, s = _channel_align_apply(params[name], state[name], x, training, axis_name,
+                                    bn_momentum, bn_eps)
         new_state[name] = s
         return y
 
@@ -159,10 +166,10 @@ def cell_apply(
         p3_in, p4_in, p5_in, p6_in, p7_in = features
 
     # top-down pass
-    p6_up = sep("conv6_up", _fuse(params["p6_w1"], [p6_in, resize_nearest_2x(p7_in)], attention))
-    p5_up = sep("conv5_up", _fuse(params["p5_w1"], [p5_in, resize_nearest_2x(p6_up)], attention))
-    p4_up = sep("conv4_up", _fuse(params["p4_w1"], [p4_in, resize_nearest_2x(p5_up)], attention))
-    p3_out = sep("conv3_up", _fuse(params["p3_w1"], [p3_in, resize_nearest_2x(p4_up)], attention))
+    p6_up = sep("conv6_up", _fuse(params["p6_w1"], [p6_in, resize_nearest_2x(p7_in)], attention, fusion_eps))
+    p5_up = sep("conv5_up", _fuse(params["p5_w1"], [p5_in, resize_nearest_2x(p6_up)], attention, fusion_eps))
+    p4_up = sep("conv4_up", _fuse(params["p4_w1"], [p4_in, resize_nearest_2x(p5_up)], attention, fusion_eps))
+    p3_out = sep("conv3_up", _fuse(params["p3_w1"], [p3_in, resize_nearest_2x(p4_up)], attention, fusion_eps))
 
     if first_time:
         p4_in = align("p4_down_channel_2", p4)
@@ -170,15 +177,15 @@ def cell_apply(
 
     # bottom-up pass
     p4_out = sep(
-        "conv4_down", _fuse(params["p4_w2"], [p4_in, p4_up, max_pool_same(p3_out)], attention)
+        "conv4_down", _fuse(params["p4_w2"], [p4_in, p4_up, max_pool_same(p3_out)], attention, fusion_eps)
     )
     p5_out = sep(
-        "conv5_down", _fuse(params["p5_w2"], [p5_in, p5_up, max_pool_same(p4_out)], attention)
+        "conv5_down", _fuse(params["p5_w2"], [p5_in, p5_up, max_pool_same(p4_out)], attention, fusion_eps)
     )
     p6_out = sep(
-        "conv6_down", _fuse(params["p6_w2"], [p6_in, p6_up, max_pool_same(p5_out)], attention)
+        "conv6_down", _fuse(params["p6_w2"], [p6_in, p6_up, max_pool_same(p5_out)], attention, fusion_eps)
     )
-    p7_out = sep("conv7_down", _fuse(params["p7_w2"], [p7_in, max_pool_same(p6_out)], attention))
+    p7_out = sep("conv7_down", _fuse(params["p7_w2"], [p7_in, max_pool_same(p6_out)], attention, fusion_eps))
 
     return (p3_out, p4_out, p5_out, p6_out, p7_out), new_state
 
@@ -199,7 +206,7 @@ def init(key, num_channels: int, conv_channels: Tuple[int, int, int], repeats: i
 
 
 def apply(params, state, backbone_features, attention=True, training=False, axis_name=None,
-          capture=None):
+          capture=None, bn_momentum=0.01, bn_eps=1e-3, fusion_eps=1e-4):
     """``capture``: optional dict collecting per-cell pyramid outputs
     (activation-diffing harness for checkpoint parity work)."""
     features = backbone_features
@@ -208,6 +215,7 @@ def apply(params, state, backbone_features, attention=True, training=False, axis
         features, ns = cell_apply(
             p, s, features, first_time=(i == 0), attention=attention,
             training=training, axis_name=axis_name,
+            bn_momentum=bn_momentum, bn_eps=bn_eps, fusion_eps=fusion_eps,
         )
         new_cells.append(ns)
         if capture is not None:

@@ -32,8 +32,9 @@ from hmd_ego_pose_tpu.nn.core import (
     swish,
 )
 
-BN_MOMENTUM = 0.01  # torch momentum 0.01 == tf momentum 0.99 (efficientnet/utils.py:244)
-BN_EPS = 1e-3
+# BN defaults: torch momentum 0.01 == tf momentum 0.99, eps 1e-3
+# (efficientnet/utils.py:244); single source of truth is ModelConfig —
+# hmd_ego_pose.apply threads config.bn_momentum/bn_epsilon through here.
 
 
 def round_filters(filters: int, width_coefficient: float, divisor: int = 8) -> int:
@@ -114,6 +115,8 @@ def _mbconv_apply(
     drop_rate: float,
     rng: Optional[jax.Array],
     axis_name: Optional[str],
+    bn_momentum: float = 0.01,
+    bn_eps: float = 1e-3,
 ):
     """One MBConv block (efficientnet/model.py:69-104)."""
     new_state = {}
@@ -122,13 +125,13 @@ def _mbconv_apply(
     if spec["expand_ratio"] != 1:
         x = conv_apply(params["expand_conv"], x)
         x, new_state["bn0"] = batch_norm_apply(
-            params["bn0"], state["bn0"], x, training, BN_MOMENTUM, BN_EPS, axis_name
+            params["bn0"], state["bn0"], x, training, bn_momentum, bn_eps, axis_name
         )
         x = swish(x)
 
     x = depthwise_conv_apply(params["depthwise_conv"], x, stride=spec["stride"])
     x, new_state["bn1"] = batch_norm_apply(
-        params["bn1"], state["bn1"], x, training, BN_MOMENTUM, BN_EPS, axis_name
+        params["bn1"], state["bn1"], x, training, bn_momentum, bn_eps, axis_name
     )
     x = swish(x)
 
@@ -141,7 +144,7 @@ def _mbconv_apply(
 
     x = conv_apply(params["project_conv"], x)
     x, new_state["bn2"] = batch_norm_apply(
-        params["bn2"], state["bn2"], x, training, BN_MOMENTUM, BN_EPS, axis_name
+        params["bn2"], state["bn2"], x, training, bn_momentum, bn_eps, axis_name
     )
 
     if spec["stride"] == 1 and spec["in_ch"] == spec["out_ch"]:
@@ -192,6 +195,8 @@ def apply(
     rng: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
     drop_connect_rate: float = 0.2,
+    bn_momentum: float = 0.01,
+    bn_eps: float = 1e-3,
 ):
     """NHWC image batch -> (P3, P4, P5) features and new BN state.
 
@@ -204,7 +209,7 @@ def apply(
 
     x = conv_apply(params["stem_conv"], x, stride=2)
     x, new_state["stem_bn"] = batch_norm_apply(
-        params["stem_bn"], state["stem_bn"], x, training, BN_MOMENTUM, BN_EPS, axis_name
+        params["stem_bn"], state["stem_bn"], x, training, bn_momentum, bn_eps, axis_name
     )
     x = swish(x)
 
@@ -215,7 +220,8 @@ def apply(
     for i, spec in enumerate(specs):
         rate = drop_connect_rate * i / n_blocks
         x, s = _mbconv_apply(
-            params["blocks"][i], state["blocks"][i], x, spec, training, rate, rngs[i], axis_name
+            params["blocks"][i], state["blocks"][i], x, spec, training, rate, rngs[i],
+            axis_name, bn_momentum, bn_eps,
         )
         new_blocks.append(s)
         is_last_of_stage = i + 1 == n_blocks or specs[i + 1]["stage"] != spec["stage"]

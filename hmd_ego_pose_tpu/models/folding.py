@@ -26,12 +26,10 @@ import numpy as np
 from hmd_ego_pose_tpu.config import ModelConfig
 from hmd_ego_pose_tpu.models.efficientnet import block_specs
 
-BN_EPS = 1e-3
-
-
-def _fold_pair(conv: Dict[str, Any], bn_params: Dict[str, Any], bn_state: Dict[str, Any]):
+def _fold_pair(conv: Dict[str, Any], bn_params: Dict[str, Any], bn_state: Dict[str, Any],
+               eps: float):
     """Return (folded conv dict, identity bn params, identity bn state)."""
-    scale = np.asarray(bn_params["scale"]) / np.sqrt(np.asarray(bn_state["var"]) + BN_EPS)
+    scale = np.asarray(bn_params["scale"]) / np.sqrt(np.asarray(bn_state["var"]) + eps)
     kernel = np.asarray(conv["kernel"]) * scale  # (..., out_ch) broadcast
     bias = np.asarray(conv.get("bias", 0.0)) - np.asarray(bn_state["mean"])
     bias = bias * scale + np.asarray(bn_params["bias"])
@@ -42,7 +40,7 @@ def _fold_pair(conv: Dict[str, Any], bn_params: Dict[str, Any], bn_state: Dict[s
 
     ch = scale.shape[0]
     ident_p = {"scale": np.ones(ch, np.float32), "bias": np.zeros(ch, np.float32)}
-    ident_s = {"mean": np.zeros(ch, np.float32), "var": np.full(ch, 1.0 - BN_EPS, np.float32)}
+    ident_s = {"mean": np.zeros(ch, np.float32), "var": np.full(ch, 1.0 - eps, np.float32)}
     return folded_conv, ident_p, ident_s
 
 
@@ -57,15 +55,16 @@ def fold_batch_norms(params, bn_state, config: ModelConfig) -> Tuple[Any, Any]:
 
     # ---- backbone ----
     bb_p, bb_s = params["backbone"], bn_state["backbone"]
+    eps = config.bn_epsilon
     bb_p["stem_conv"], bb_p["stem_bn"], bb_s["stem_bn"] = _fold_pair(
-        bb_p["stem_conv"], bb_p["stem_bn"], bb_s["stem_bn"]
+        bb_p["stem_conv"], bb_p["stem_bn"], bb_s["stem_bn"], eps
     )
     for i, spec in enumerate(block_specs(config.backbone_coefficient)):
         bp, bs = bb_p["blocks"][i], bb_s["blocks"][i]
         if spec["expand_ratio"] != 1:
-            bp["expand_conv"], bp["bn0"], bs["bn0"] = _fold_pair(bp["expand_conv"], bp["bn0"], bs["bn0"])
-        bp["depthwise_conv"], bp["bn1"], bs["bn1"] = _fold_pair(bp["depthwise_conv"], bp["bn1"], bs["bn1"])
-        bp["project_conv"], bp["bn2"], bs["bn2"] = _fold_pair(bp["project_conv"], bp["bn2"], bs["bn2"])
+            bp["expand_conv"], bp["bn0"], bs["bn0"] = _fold_pair(bp["expand_conv"], bp["bn0"], bs["bn0"], eps)
+        bp["depthwise_conv"], bp["bn1"], bs["bn1"] = _fold_pair(bp["depthwise_conv"], bp["bn1"], bs["bn1"], eps)
+        bp["project_conv"], bp["bn2"], bs["bn2"] = _fold_pair(bp["project_conv"], bp["bn2"], bs["bn2"], eps)
 
     # ---- BiFPN ----
     for cell_p, cell_s in zip(params["bifpn"]["cells"], bn_state["bifpn"]["cells"]):
@@ -74,11 +73,11 @@ def fold_batch_norms(params, bn_state, config: ModelConfig) -> Tuple[Any, Any]:
                 continue
             if "pointwise" in node and "bn" in node:  # separable conv block
                 node["pointwise"], node["bn"], cell_s[name]["bn"] = _fold_pair(
-                    node["pointwise"], node["bn"], cell_s[name]["bn"]
+                    node["pointwise"], node["bn"], cell_s[name]["bn"], eps
                 )
             elif "conv" in node and "bn" in node:  # channel aligner
                 node["conv"], node["bn"], cell_s[name]["bn"] = _fold_pair(
-                    node["conv"], node["bn"], cell_s[name]["bn"]
+                    node["conv"], node["bn"], cell_s[name]["bn"], eps
                 )
 
     return params, bn_state

@@ -33,8 +33,8 @@ import jax.numpy as jnp
 from hmd_ego_pose_tpu.models.bifpn import sep_conv_apply, sep_conv_init
 from hmd_ego_pose_tpu.nn.core import batch_norm_apply, batch_norm_init, swish
 
-BN_MOMENTUM = 0.01
-BN_EPS = 1e-3
+# BN defaults 0.01/1e-3 (efficientdet/model.py:349-359); single source of
+# truth is ModelConfig — hmd_ego_pose.apply threads bn_momentum/bn_epsilon.
 
 
 def _head_core_init(key, in_ch: int, num_layers: int, pyramid_levels: int):
@@ -56,12 +56,13 @@ def _head_core_init(key, in_ch: int, num_layers: int, pyramid_levels: int):
     return params, state
 
 
-def _head_core_apply(params, state, feat, level: int, training, axis_name):
+def _head_core_apply(params, state, feat, level: int, training, axis_name,
+                     bn_momentum, bn_eps):
     """Apply the shared conv stack with this level's BN chain."""
     new_bns = []
     for conv_p, bn_p, bn_s in zip(params["convs"], params["bns"][level], state["bns"][level]):
         feat, _ = sep_conv_apply(conv_p, {}, feat)
-        feat, ns = batch_norm_apply(bn_p, bn_s, feat, training, BN_MOMENTUM, BN_EPS, axis_name)
+        feat, ns = batch_norm_apply(bn_p, bn_s, feat, training, bn_momentum, bn_eps, axis_name)
         new_bns.append(ns)
         feat = swish(feat)
     return feat, new_bns
@@ -112,18 +113,22 @@ def head_apply(
     iter_steps: int = 0,
     training: bool = False,
     axis_name: Optional[str] = None,
+    bn_momentum: float = 0.01,
+    bn_eps: float = 1e-3,
 ):
     """Run a head over the 5-level pyramid -> (B, N, out_dim)."""
     new_state: Dict[str, Any] = {"bns": []}
     outs = []
     iter_states = []
     for level, feat in enumerate(features):
-        feat, bns = _head_core_apply(params, state, feat, level, training, axis_name)
+        feat, bns = _head_core_apply(params, state, feat, level, training, axis_name,
+                                     bn_momentum, bn_eps)
         new_state["bns"].append(bns)
         pred, _ = sep_conv_apply(params["header"], {}, feat)
         if iter_steps >= 1:
             (pred,), it_s = _iter_subnet_apply(
-                params["iter"], state["iter"], feat, (pred,), iter_steps, training, axis_name
+                params["iter"], state["iter"], feat, (pred,), iter_steps, training, axis_name,
+                bn_momentum, bn_eps,
             )
             iter_states.append(it_s)
         outs.append(_flatten_anchors(pred, out_dim))
@@ -136,8 +141,10 @@ def head_apply(
     return jnp.concatenate(outs, axis=1), new_state
 
 
-def classification_apply(params, state, features, num_classes: int, training=False, axis_name=None):
-    logits, new_state = head_apply(params, state, features, num_classes, 0, training, axis_name)
+def classification_apply(params, state, features, num_classes: int, training=False,
+                         axis_name=None, bn_momentum=0.01, bn_eps=1e-3):
+    logits, new_state = head_apply(params, state, features, num_classes, 0, training,
+                                   axis_name, bn_momentum, bn_eps)
     return jax.nn.sigmoid(logits), new_state
 
 
@@ -163,18 +170,21 @@ def translation_head_init(
 
 
 def translation_head_apply(
-    params, state, features, iter_steps: int = 0, training=False, axis_name=None
+    params, state, features, iter_steps: int = 0, training=False, axis_name=None,
+    bn_momentum=0.01, bn_eps=1e-3,
 ):
     new_state: Dict[str, Any] = {"bns": []}
     outs = []
     for level, feat in enumerate(features):
-        feat, bns = _head_core_apply(params, state, feat, level, training, axis_name)
+        feat, bns = _head_core_apply(params, state, feat, level, training, axis_name,
+                                     bn_momentum, bn_eps)
         new_state["bns"].append(bns)
         xy, _ = sep_conv_apply(params["header_xy"], {}, feat)
         z, _ = sep_conv_apply(params["header_z"], {}, feat)
         if iter_steps >= 1:
             (xy, z), it_s = _iter_subnet_apply(
-                params["iter"], state["iter"], feat, (xy, z), iter_steps, training, axis_name
+                params["iter"], state["iter"], feat, (xy, z), iter_steps, training, axis_name,
+                bn_momentum, bn_eps,
             )
             new_state["iter"] = it_s
         xy = _flatten_anchors(xy, 2)
@@ -208,7 +218,8 @@ def _iter_subnet_init(key, in_ch, concat_ch, header_dims, num_layers, iter_steps
     return params, state
 
 
-def _iter_subnet_apply(params, state, feat, preds, iter_steps, training, axis_name):
+def _iter_subnet_apply(params, state, feat, preds, iter_steps, training, axis_name,
+                       bn_momentum=0.01, bn_eps=1e-3):
     new_state = {"bns": [list(s) for s in state["bns"]]}
     preds = list(preds)
     for step in range(iter_steps):
@@ -217,7 +228,7 @@ def _iter_subnet_apply(params, state, feat, preds, iter_steps, training, axis_na
             x, _ = sep_conv_apply(conv_p, {}, x)
             x, ns = batch_norm_apply(
                 params["bns"][step][i], state["bns"][step][i], x,
-                training, BN_MOMENTUM, BN_EPS, axis_name,
+                training, bn_momentum, bn_eps, axis_name,
             )
             new_state["bns"][step][i] = ns
             x = swish(x)

@@ -111,6 +111,7 @@ def apply(
         params["backbone"], state["backbone"], x,
         coefficient=config.backbone_coefficient,
         training=training, rng=rng, axis_name=axis_name,
+        bn_momentum=config.bn_momentum, bn_eps=config.bn_epsilon,
     )
     if capture is not None:
         capture["backbone.p3"], capture["backbone.p4"], capture["backbone.p5"] = feats
@@ -118,27 +119,30 @@ def apply(
         params["bifpn"], state["bifpn"], feats,
         attention=config.phi < 6, training=training, axis_name=axis_name,
         capture=capture,
+        bn_momentum=config.bn_momentum, bn_eps=config.bn_epsilon,
+        fusion_eps=config.fusion_epsilon,
     )
 
+    bn_kw = dict(bn_momentum=config.bn_momentum, bn_eps=config.bn_epsilon)
     regression, new_state["regressor"] = heads.head_apply(
         params["regressor"], state["regressor"], pyramid, 4,
-        training=training, axis_name=axis_name,
+        training=training, axis_name=axis_name, **bn_kw,
     )
     classification, new_state["classifier"] = heads.classification_apply(
         params["classifier"], state["classifier"], pyramid, config.num_classes,
-        training=training, axis_name=axis_name,
+        training=training, axis_name=axis_name, **bn_kw,
     )
     rotation, new_state["rotation"] = heads.head_apply(
         params["rotation"], state["rotation"], pyramid, config.num_rotation_parameters,
-        config.iter_steps, training=training, axis_name=axis_name,
+        config.iter_steps, training=training, axis_name=axis_name, **bn_kw,
     )
     translation_raw, new_state["translation"] = heads.translation_head_apply(
         params["translation"], state["translation"], pyramid,
-        config.iter_steps, training=training, axis_name=axis_name,
+        config.iter_steps, training=training, axis_name=axis_name, **bn_kw,
     )
     hand, new_state["hand"] = heads.head_apply(
         params["hand"], state["hand"], pyramid, config.num_hand_parameters,
-        config.iter_steps, training=training, axis_name=axis_name,
+        config.iter_steps, training=training, axis_name=axis_name, **bn_kw,
     )
 
     out = RawOutputs(

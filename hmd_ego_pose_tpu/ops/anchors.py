@@ -32,17 +32,22 @@ def _level_anchors(base_size: float, ratios: np.ndarray, scales: np.ndarray) -> 
     Ordering matters for golden parity: anchor i uses scale ``scales[i // R]``
     and ratio ``ratios[i % R]`` (reference: anchors.py:385-419).
     """
-    num = len(ratios) * len(scales)
-    anchors = np.zeros((num, 4), dtype=np.float64)
-    # widths/heights start as base * scale for both dims
-    anchors[:, 2:] = base_size * np.tile(np.repeat(scales, len(ratios))[None], (2, 1)).T
-    areas = anchors[:, 2] * anchors[:, 3]
-    anchors[:, 2] = np.sqrt(areas / np.tile(ratios, len(scales)))
-    anchors[:, 3] = anchors[:, 2] * np.tile(ratios, len(scales))
-    # re-centre to (0, 0)
-    anchors[:, 0::2] -= np.tile(anchors[:, 2] * 0.5, (2, 1)).T
-    anchors[:, 1::2] -= np.tile(anchors[:, 3] * 0.5, (2, 1)).T
-    return anchors
+    # Per-anchor (scale, ratio) selection via index gather.  The float op
+    # ORDER below deliberately mirrors the reference pipeline (square side in
+    # f32, area/sqrt/aspect in f64, halve-and-subtract recentring) because the
+    # committed golden files pin the bit pattern; the construction itself is
+    # an independent formulation.
+    idx = np.arange(len(ratios) * len(scales))
+    scale_per = scales[idx // len(ratios)]  # anchor i -> scales[i // R]
+    ratio_per = ratios[idx % len(ratios)].astype(np.float64)  # -> ratios[i % R]
+
+    side = np.asarray(base_size * scale_per, dtype=np.float64)  # f32 multiply
+    area = side * side
+    w = np.sqrt(area / ratio_per)
+    h = w * ratio_per
+    half_w = w * 0.5
+    half_h = h * 0.5
+    return np.stack([-half_w, -half_h, w - half_w, h - half_h], axis=1)
 
 
 def feature_shapes(image_shape: Tuple[int, int], levels: Tuple[int, ...]) -> list:

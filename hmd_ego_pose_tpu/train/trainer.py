@@ -156,6 +156,17 @@ class Trainer:
                     },
                 )
 
+            # rolling crash-resume checkpoint: best-only saving (the
+            # reference policy) writes nothing until the first true positive,
+            # which can be many epochs into a from-scratch run
+            save_checkpoint(
+                self.config.train.checkpoint_dir,
+                "last",
+                self.state.params,
+                self.state.bn_state,
+                metadata={"epoch": epoch, "metric": metric, "config": repr(self.config)},
+            )
+
             if on_epoch_end is not None:
                 on_epoch_end(epoch, train_metrics, result)
         return self.best_checkpoint

@@ -163,3 +163,49 @@ def test_stablehlo_export_roundtrip(tmp_path):
     params, state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
     out = export_inference(params, state, cfg, str(tmp_path / "artifacts"))
     assert load_and_verify(out)
+
+
+def test_model_stats_report():
+    """Param/FLOP startup report (reference main.py:169-179 parity)."""
+    from hmd_ego_pose_tpu.config import ModelConfig
+    from hmd_ego_pose_tpu.utils.model_stats import (
+        abstract_model,
+        count_params,
+        format_model_stats,
+        forward_flops,
+    )
+
+    cfg = ModelConfig(phi=0, image_size=256)
+    p_shapes, _ = abstract_model(cfg)
+    n = count_params(p_shapes)
+    # EfficientPose phi=0 scale: ~3.9M params
+    assert 3.5e6 < n < 4.5e6, n
+
+    report = format_model_stats(cfg, batch_size=1)
+    assert f"HMD-EgoPose parameter count: {n}" in report
+    assert "Size (MB):" in report
+
+    flops = forward_flops(cfg, batch_size=1)
+    if flops is not None:  # cost analysis available
+        assert 0.5e9 < flops < 10e9, flops
+
+
+def test_eval_format_report():
+    """The 17-metric printout mirrors eval/common.py:268-292 labels."""
+    from hmd_ego_pose_tpu.eval.evaluator import EvalResult, format_report
+
+    r = EvalResult(
+        mean_ap=0.5, add_accuracy=0.25,
+        translation_error_mean_mm=10.0, translation_error_std_mm=2.0,
+        rotation_error_mean_deg=5.0, rotation_error_std_deg=1.0,
+    )
+    text = format_report(r)
+    for label in (
+        "mAP: 0.5000", "ADD: 0.2500", "ADD-S:", "5cm_5degree:",
+        "TranslationErrorMean_in_mm: 10.0000", "RotationErrorMean_in_degree: 5.0000",
+        "TranslationErrorTipMean_in_mm:", "TranslationErrorHandMean_in_mm:",
+        "2D-Projection:", "Summed_Translation_Rotation_Error: 18.0000",
+        "ADD(-S):", "AveragePointDistanceMean_in_mm:",
+        "AverageSymmetricPointDistanceMean_in_mm:", "MixedAveragePointDistanceMean_in_mm:",
+    ):
+        assert label in text, label

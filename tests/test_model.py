@@ -120,3 +120,38 @@ def test_param_count_phi0_reasonable():
     params, _ = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
     n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     assert 3_000_000 < n < 6_000_000, n
+
+
+def test_bn_config_is_threaded():
+    """ModelConfig.bn_epsilon / fusion_epsilon must reach every norm site.
+
+    Regression for round-1 'decorative config fields': the modules used to
+    hard-code BN_MOMENTUM/BN_EPS copies, so setting the field did nothing.
+    """
+    cfg = small_config(image_size=128)
+    params, state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 128, 3), jnp.float32)
+
+    base, _ = hmd_ego_pose.apply(params, state, x, cfg)
+
+    cfg_eps = dataclasses.replace(cfg, bn_epsilon=10.0)
+    out_eps, _ = hmd_ego_pose.apply(params, state, x, cfg_eps)
+    assert not np.allclose(np.asarray(base.regression), np.asarray(out_eps.regression)), (
+        "bn_epsilon change did not affect the forward pass — field is decorative"
+    )
+
+    cfg_fus = dataclasses.replace(cfg, fusion_epsilon=5.0)
+    out_fus, _ = hmd_ego_pose.apply(params, state, x, cfg_fus)
+    assert not np.allclose(np.asarray(base.regression), np.asarray(out_fus.regression)), (
+        "fusion_epsilon change did not affect the forward pass — field is decorative"
+    )
+
+    # bn_momentum only matters in training mode (running-stat EMA update)
+    cfg_mom = dataclasses.replace(cfg, bn_momentum=0.9)
+    _, ns_base = hmd_ego_pose.apply(
+        params, state, x, cfg, training=True, rng=jax.random.PRNGKey(2))
+    _, ns_mom = hmd_ego_pose.apply(
+        params, state, x, cfg_mom, training=True, rng=jax.random.PRNGKey(2))
+    v0 = np.asarray(ns_base["backbone"]["stem_bn"]["mean"])
+    v1 = np.asarray(ns_mom["backbone"]["stem_bn"]["mean"])
+    assert not np.allclose(v0, v1), "bn_momentum change did not affect EMA update"
