@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from hmd_ego_pose_tpu.config import ModelConfig
 from hmd_ego_pose_tpu.models import hmd_ego_pose
@@ -116,3 +117,48 @@ def test_strict_conversion_catches_unknown_keys(model):
     sd["bogus.key"] = np.zeros(3, np.float32)
     with pytest.raises(ValueError, match="unused"):
         convert_torch_state_dict(sd, params, state, cfg)
+
+
+def test_full_model_torch_oracle_forward_parity():
+    """Round-2 gate (SURVEY §7 step 2): the COMPLETE reference architecture
+    rebuilt in torch (tests/torch_ref.py, reference key naming), random
+    weights + random BN running stats, converted through
+    convert_torch_state_dict — all five head outputs must agree with
+    hmd_ego_pose.apply to fp32 tolerance.  Proves the converter on a full
+    forward so trained reference weights are plug-and-play
+    (pytorch-sandbox/scratchpad.py:78-87 is the eventual oracle).
+    """
+    torch = pytest.importorskip("torch")
+
+    from torch_ref import TorchHMDEgoPose, randomize_
+
+    cfg = ModelConfig(phi=0, image_size=128, iter_steps=1)
+    tm = TorchHMDEgoPose(cfg)
+    randomize_(tm, seed=7)
+    tm.eval()
+
+    rng = np.random.RandomState(11)
+    x = rng.normal(size=(1, 128, 128, 3)).astype(np.float32) * 0.5
+
+    with torch.no_grad():
+        t_reg, t_cls, t_rot, t_tra, t_hand = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    params, state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, state, report = convert_torch_state_dict(sd, params, state, cfg)
+    assert not report["missing"] and not report["unused"], report
+
+    out, _ = hmd_ego_pose.apply(jax.tree.map(jnp.asarray, params),
+                                jax.tree.map(jnp.asarray, state), jnp.asarray(x), cfg)
+
+    for name, ours, theirs in (
+        ("regression", out.regression, t_reg),
+        ("classification", out.classification, t_cls),
+        ("rotation", out.rotation, t_rot),
+        ("translation", out.translation_raw, t_tra),
+        ("hand", out.hand, t_hand),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.numpy(), rtol=2e-3, atol=2e-4,
+            err_msg=f"head {name} diverged from the torch oracle",
+        )
