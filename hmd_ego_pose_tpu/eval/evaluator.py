@@ -142,9 +142,10 @@ def evaluate_model(
 
     false_positives, true_positives, scores_all = [], [], []
     num_annotations = 0
-    tp_add, tp_add_s, tp_5cm5deg, tp_2d = [], [], [], []
+    tp_add, tp_5cm5deg, tp_2d = [], [], []
     t_diffs, r_diffs, tip_diffs, hand_diffs = [], [], [], []
-    point_errors, sym_point_errors = [], []
+    point_errors = []
+    tp_poses = []  # (r_gt, t_gt, r_pred, t_pred) per TP, for batched ADD-S
 
     # chunked device inference: pad the final chunk to the fixed batch size
     det_cache = {}
@@ -217,10 +218,9 @@ def evaluate_model(
                 ok_add, mean_add = M.check_add(
                     model_points, diameter, r_gt, t_gt, r_pred, t_pred, ecfg.diameter_threshold
                 )
-                ok_add_s, mean_add_s = M.check_add_s(
-                    model_points, diameter, r_gt, t_gt, r_pred, t_pred,
-                    ecfg.diameter_threshold, ecfg.adds_max_points,
-                )
+                # ADD-S is deferred: all true-positive pose pairs run as ONE
+                # batched device program after the loop (M.add_s_batch)
+                tp_poses.append((r_gt, t_gt, r_pred, t_pred))
                 ok_5cm, t_dist, r_dist, tip_dist = M.check_5cm_5degree(
                     r_gt, t_gt, r_pred, t_pred, dataset.load_drill_tip_offset(i)
                 )
@@ -257,7 +257,6 @@ def evaluate_model(
                     )
 
                 tp_add.append(ok_add)
-                tp_add_s.append(ok_add_s)
                 tp_5cm5deg.append(ok_5cm)
                 tp_2d.append(ok_2d)
                 t_diffs.append(t_dist)
@@ -265,10 +264,17 @@ def evaluate_model(
                 tip_diffs.append(tip_dist)
                 hand_diffs.append(hand_err)
                 point_errors.append(mean_add)
-                sym_point_errors.append(mean_add_s)
             else:
                 false_positives.append(1)
                 true_positives.append(0)
+
+    # batched ADD-S over every true positive: one TPU program per eval epoch
+    # (the reference recomputes a numpy distance matrix per detection,
+    # eval/common.py:736-760)
+    tp_add_s, sym_point_errors = M.add_s_batch(
+        model_points, diameter, tp_poses,
+        ecfg.diameter_threshold, ecfg.adds_max_points,
+    )
 
     result = EvalResult()
     if num_annotations == 0:

@@ -16,6 +16,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# deliberately the jnp path, not the Pallas kernel: at the NMS candidate
+# shape (100 x 100) the Pallas version measured 0.94x on a v5e — padding
+# overhead eats the win (scripts/bench_pallas.py); the Pallas kernel pays
+# off at the 12k-anchor target-assignment shape instead
 from hmd_ego_pose_tpu.ops.iou import iou_matrix
 
 

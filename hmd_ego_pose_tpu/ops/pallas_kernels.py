@@ -35,7 +35,12 @@ def _round_up(x: int, m: int) -> int:
 # IoU matrix
 # ---------------------------------------------------------------------------
 
-_IOU_BLOCK_N = 256
+def _iou_block_rows(n: int) -> int:
+    """Anchor-block row count, tuned on a v5e (scripts/bench_pallas.py):
+    256 rows win for the vmapped train-batch shape (16 x 12276 anchors,
+    6x over the fused jnp broadcast), 1024 for the single large 49k-anchor
+    set; 4096 overflows scoped VMEM under vmap."""
+    return 256 if n <= 16384 else 1024
 
 
 def _iou_kernel(anchors_ref, gt_ref, out_ref):
@@ -68,7 +73,8 @@ def iou_matrix_pallas(boxes_a, boxes_b, interpret: bool = False):
     produce zeros which callers mask out by construction.
     """
     n, k = boxes_a.shape[0], boxes_b.shape[0]
-    n_pad = _round_up(max(n, 1), _IOU_BLOCK_N)
+    block_n = _iou_block_rows(n)
+    n_pad = _round_up(max(n, 1), block_n)
     k_pad = _round_up(max(k, 1), 128)
 
     a = jnp.zeros((n_pad, 4), jnp.float32).at[:n].set(boxes_a.astype(jnp.float32))
@@ -76,12 +82,12 @@ def iou_matrix_pallas(boxes_a, boxes_b, interpret: bool = False):
 
     out = pl.pallas_call(
         _iou_kernel,
-        grid=(n_pad // _IOU_BLOCK_N,),
+        grid=(n_pad // block_n,),
         in_specs=[
-            pl.BlockSpec((_IOU_BLOCK_N, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k_pad, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_IOU_BLOCK_N, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_n, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32),
         interpret=interpret,
     )(a, b)
@@ -96,20 +102,25 @@ _DIST_BLOCK_P = 512
 
 
 def _min_dist_kernel(gt_ref, pred_ref, mask_ref, out_ref):
-    """(BP, 3) GT block vs all (Q, 3) pred -> per-row min distance (BP,)."""
+    """(BP, 3) GT block vs all (Q, 3) pred -> per-row min distance (BP,).
+
+    Direct unrolled differences on the VPU, NOT the |g|^2+|p|^2-2g.p MXU
+    expansion: with mm-scale pose translations the expansion cancels ~3
+    decimal digits (measured ~1.2 mm error on ~300 mm ADD-S means), which
+    can flip near-threshold metric decisions.  At Q<=2048 the three
+    (BP, Q) elementwise planes are cheaper than the lost precision.
+    """
     g = gt_ref[:]  # (BP, 3)
     p = pred_ref[:]  # (Q, 3)
     mask = mask_ref[:]  # (Q, 1) 1.0 for real rows
 
-    # squared distances via the expansion |g|^2 + |p|^2 - 2 g.p — the cross
-    # term is a matmul that lands on the MXU
-    g2 = jnp.sum(g * g, axis=1, keepdims=True)  # (BP, 1)
-    p2 = jnp.sum(p * p, axis=1, keepdims=True).T  # (1, Q)
-    cross = jnp.dot(g, p.T, preferred_element_type=jnp.float32)  # (BP, Q)
-    d2 = g2 + p2 - 2.0 * cross
+    dx = g[:, 0:1] - p[:, 0][None, :]
+    dy = g[:, 1:2] - p[:, 1][None, :]
+    dz = g[:, 2:3] - p[:, 2][None, :]
+    d2 = dx * dx + dy * dy + dz * dz
     # padded pred rows must never win the min
     d2 = jnp.where(mask.T > 0, d2, jnp.inf)
-    out_ref[:] = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1, keepdims=True), 0.0))
+    out_ref[:] = jnp.sqrt(jnp.min(d2, axis=1, keepdims=True))
 
 
 def min_distances_pallas(points_gt, points_pred, interpret: bool = False):

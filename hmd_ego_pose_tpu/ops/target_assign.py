@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from hmd_ego_pose_tpu.ops.anchors import bbox_transform
-from hmd_ego_pose_tpu.ops.iou import iou_matrix
+# Pallas TPU kernel on TPU backends (6x over the fused jnp broadcast at the
+# vmapped train-batch shape, scripts/bench_pallas.py), jnp reference on CPU.
+from hmd_ego_pose_tpu.ops.pallas_kernels import iou_matrix
 
 
 class AnchorTargets(NamedTuple):
