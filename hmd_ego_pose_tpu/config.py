@@ -217,6 +217,10 @@ class DataConfig:
     scale_6dof_augmentation: Tuple[float, float] = (0.7, 1.3)
     num_workers: int = 4
     prefetch: int = 2
+    # decode every frame+mask once into RAM (the 1-core host re-decodes each
+    # frame ~10x/epoch otherwise); skipped when the decoded set exceeds budget
+    preload: bool = True
+    preload_budget_bytes: int = 8 << 30
 
 
 # ---------------------------------------------------------------------------

@@ -178,10 +178,41 @@ class ColibriDataset:
     def is_symmetric_object(self, name_or_id) -> bool:
         return name_or_id in self.symmetric_objects
 
+    def preload(self, budget_bytes: int = 8 << 30) -> bool:
+        """Decode every image+mask once into a read-only in-memory cache.
+
+        PNG decode dominates the per-example cost on a 1-core host (~6 ms of
+        ~23 ms); the trainer's 10x-oversampled epochs re-decode each frame
+        ~10 times per epoch without this.  Returns False (and caches nothing)
+        if the decoded set would exceed ``budget_bytes``.
+        """
+        if getattr(self, "_image_cache", None) is not None:
+            return True
+        probe = imread_rgb(self.image_paths[0])
+        mask_probe = imread_rgb(self.mask_paths[0])
+        est = len(self.image_paths) * (probe.nbytes + mask_probe.nbytes)
+        if est > budget_bytes:
+            return False
+        images, masks = [], []
+        for ip, mp in zip(self.image_paths, self.mask_paths):
+            im, mk = imread_rgb(ip), imread_rgb(mp)
+            im.setflags(write=False)
+            mk.setflags(write=False)
+            images.append(im)
+            masks.append(mk)
+        self._image_cache, self._mask_cache = images, masks
+        return True
+
     def load_image(self, i: int) -> np.ndarray:
+        cache = getattr(self, "_image_cache", None)
+        if cache is not None:
+            return cache[i]
         return imread_rgb(self.image_paths[i])
 
     def load_mask(self, i: int) -> np.ndarray:
+        cache = getattr(self, "_mask_cache", None)
+        if cache is not None:
+            return cache[i]
         return imread_rgb(self.mask_paths[i])
 
     def load_annotations(self, i: int) -> Dict[str, np.ndarray]:
