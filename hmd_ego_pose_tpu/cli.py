@@ -62,6 +62,7 @@ def cmd_train(args):
         epochs=args.epo,
         fine_tune=args.fine_tune,
         freeze_backbone=args.freeze_backbone,
+        eval_every=args.eval_every,
     )
     train_ds = ColibriDataset(args.dataset_path, args.fold, args.object_id, "train")
     val_ds = ColibriDataset(args.dataset_path, args.fold, args.object_id, "val")
@@ -257,6 +258,8 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--epo", type=int, default=50)
     p.add_argument("--fine-tune", action="store_true", help="SGD+Nesterov instead of Adam")
+    p.add_argument("--eval-every", type=int, default=1,
+                   help="validate/checkpoint every N epochs (relay-attached TPUs: see BENCH_NOTES.md)")
     p.add_argument("--freeze-backbone", action="store_true", default=True)
     p.add_argument("--no-freeze-backbone", dest="freeze_backbone", action="store_false")
     p.add_argument("--ckpt", default=None)

@@ -189,6 +189,12 @@ class TrainConfig:
     plateau_threshold: float = 1e-4
     min_learning_rate: float = 1e-7
     oversample: int = 10  # epoch length = dataset size x 10 (train.py:112)
+    # validate/checkpoint every N epochs (1 = reference behavior).  On
+    # relay-attached TPUs the FIRST device->host read of a session degrades
+    # every subsequent program execution ~1000x (BENCH_NOTES.md), so long
+    # runs set this high and amortize the eval cost across pure-compute
+    # epochs that never fetch.
+    eval_every: int = 1
     freeze_backbone: bool = True
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     checkpoint_dir: str = "train_weights"
@@ -221,6 +227,15 @@ class DataConfig:
     # frame ~10x/epoch otherwise); skipped when the decoded set exceeds budget
     preload: bool = True
     preload_budget_bytes: int = 8 << 30
+    # run color/6-DoF augmentation + preprocessing ON DEVICE inside the train
+    # step (ops/augment_device.py): the host ships cached uint8 frames + raw
+    # labels only.  False = reference-style host augmentation in workers.
+    device_augment: bool = True
+    # keep the WHOLE dataset HBM-resident (data/device_dataset.py): uploaded
+    # once, batches gathered by index on device; host ships (B,) indices per
+    # step.  Requires device_augment; falls back when over the HBM budget.
+    device_resident: bool = True
+    device_resident_budget_bytes: int = 8 << 30
 
 
 # ---------------------------------------------------------------------------

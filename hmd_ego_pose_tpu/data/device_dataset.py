@@ -1,0 +1,113 @@
+"""HBM-resident training data: the whole (small) dataset lives on device.
+
+The colibri datasets are a few hundred to a few thousand frames — hundreds of
+MB decoded, far under a TPU's HBM.  Uploading them ONCE and gathering batches
+by index on device removes the host->device frame transfer from the step
+entirely (measured 1.1 s per 11 MB batch over this environment's TPU relay vs
+6 ms of compute).  Per step the host ships a (B,) int32 index vector.
+
+Combined with on-device augmentation (ops/augment_device.py) the host's
+entire per-step duty is: draw indices.  The reference's DataLoader pipeline
+(pytorch-sandbox/generators/colibri_common.py) decodes, augments and
+re-uploads every example every epoch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hmd_ego_pose_tpu.ops.augment_device import RawBatch
+
+
+class DeviceData(NamedTuple):
+    """Full-dataset arrays, device-resident.  Leading dim = num frames."""
+
+    frames: jax.Array  # (N, H, W, 3) uint8
+    masks: jax.Array  # (N, H, W) uint8
+    camera_fxfycxcy: jax.Array  # (N, 4)
+    gt_boxes: jax.Array  # (N, K, 4)
+    gt_rotations: jax.Array  # (N, K, 3)
+    gt_is_sym: jax.Array  # (N, K)
+    gt_translations: jax.Array  # (N, K, 3)
+    gt_coords_3d: jax.Array  # (N, K, 21, 3)
+    gt_labels: jax.Array  # (N, K) int32
+    gt_valid: jax.Array  # (N, K) bool
+
+
+def estimate_bytes(dataset) -> int:
+    probe = dataset.load_image(0)
+    h, w = probe.shape[:2]
+    return len(dataset) * (h * w * 3 + h * w)
+
+
+def build_device_data(
+    dataset, max_objects: int = 1, budget_bytes: int = 8 << 30
+) -> Optional[DeviceData]:
+    """Upload the dataset to the default device; None if over budget."""
+    if estimate_bytes(dataset) > budget_bytes:
+        return None
+
+    n, k = len(dataset), max_objects
+    probe = dataset.load_image(0)
+    h, w = probe.shape[:2]
+
+    frames = np.zeros((n, h, w, 3), np.uint8)
+    masks = np.zeros((n, h, w), np.uint8)
+    cam4 = np.zeros((n, 4), np.float32)
+    boxes = np.zeros((n, k, 4), np.float32)
+    rots = np.zeros((n, k, 3), np.float32)
+    is_sym = np.zeros((n, k), np.float32)
+    trans = np.zeros((n, k, 3), np.float32)
+    coords = np.zeros((n, k, 21, 3), np.float32)
+    labels = np.zeros((n, k), np.int32)
+    valid = np.zeros((n, k), bool)
+
+    for i in range(n):
+        frames[i] = dataset.load_image(i)
+        m = dataset.load_mask(i)
+        masks[i] = m[..., 0] if m.ndim == 3 else m
+        cam = dataset.load_camera_matrix(i)
+        cam4[i] = [cam[0, 0], cam[1, 1], cam[0, 2], cam[1, 2]]
+        anno = dataset.load_annotations(i)
+        num = min(anno["labels"].shape[0], k)
+        boxes[i, :num] = anno["bboxes"][:num]
+        rots[i, :num] = anno["rotations"][:num, :3]
+        is_sym[i, :num] = anno["rotations"][:num, 3]
+        trans[i, :num] = anno["translations"][:num]
+        coords[i, :num] = anno["coords_3d"][:num]
+        labels[i, :num] = anno["labels"][:num]
+        valid[i, :num] = True
+
+    return DeviceData(
+        frames=jnp.asarray(frames),
+        masks=jnp.asarray(masks),
+        camera_fxfycxcy=jnp.asarray(cam4),
+        gt_boxes=jnp.asarray(boxes),
+        gt_rotations=jnp.asarray(rots),
+        gt_is_sym=jnp.asarray(is_sym),
+        gt_translations=jnp.asarray(trans),
+        gt_coords_3d=jnp.asarray(coords),
+        gt_labels=jnp.asarray(labels),
+        gt_valid=jnp.asarray(valid),
+    )
+
+
+def gather_raw_batch(data: DeviceData, idx) -> RawBatch:
+    """Device-side batch gather (inside jit): indices -> RawBatch."""
+    take = lambda a: jnp.take(a, idx, axis=0)
+    return RawBatch(
+        frames=take(data.frames),
+        masks=take(data.masks),
+        camera_fxfycxcy=take(data.camera_fxfycxcy),
+        gt_boxes=take(data.gt_boxes),
+        gt_rotations=take(data.gt_rotations),
+        gt_is_sym=take(data.gt_is_sym),
+        gt_translations=take(data.gt_translations),
+        gt_coords_3d=take(data.gt_coords_3d),
+        gt_labels=take(data.gt_labels),
+        gt_valid=take(data.gt_valid),
+    )

@@ -101,6 +101,43 @@ class InputPipeline:
         stacked = [np.stack(x) for x in zip(*parts)]
         return Batch(*stacked)
 
+    # -- raw (device-augmentation) mode --------------------------------------------
+    def _load_raw_example(self, index: int):
+        """Cached uint8 frame + mask + raw labels; no host math beyond copies."""
+        image = self.dataset.load_image(index)
+        mask = self.dataset.load_mask(index)
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        anno = self.dataset.load_annotations(index)
+        cam = self.dataset.load_camera_matrix(index)
+
+        k = self.max_objects
+        num = min(anno["labels"].shape[0], k)
+        boxes = np.zeros((k, 4), np.float32)
+        rotations = np.zeros((k, 3), np.float32)
+        is_sym = np.zeros((k,), np.float32)
+        translations = np.zeros((k, 3), np.float32)
+        coords = np.zeros((k, 21, 3), np.float32)
+        labels = np.zeros((k,), np.int32)
+        valid = np.zeros((k,), bool)
+
+        boxes[:num] = anno["bboxes"][:num]
+        rotations[:num] = anno["rotations"][:num, :3]
+        is_sym[:num] = anno["rotations"][:num, 3]
+        translations[:num] = anno["translations"][:num]
+        coords[:num] = anno["coords_3d"][:num]
+        labels[:num] = anno["labels"][:num]
+        valid[:num] = True
+
+        cam4 = np.array([cam[0, 0], cam[1, 1], cam[0, 2], cam[1, 2]], np.float32)
+        return image, mask, cam4, boxes, rotations, is_sym, translations, coords, labels, valid
+
+    def _make_raw_batch(self, indices, _seeds):
+        from hmd_ego_pose_tpu.ops.augment_device import RawBatch
+
+        parts = [self._load_raw_example(i) for i in indices]
+        return RawBatch(*[np.stack(x) for x in zip(*parts)])
+
     # -- iteration ----------------------------------------------------------------
     def epoch_indices(self, oversample: int = 1) -> np.ndarray:
         n = len(self.dataset)
@@ -118,10 +155,11 @@ class InputPipeline:
         groups = self.epoch_indices(oversample)
         seeds = self.rng.randint(0, 2 ** 31 - 1, size=groups.shape)
         workers = num_workers if num_workers is not None else self.cfg.num_workers
+        make = self._make_raw_batch if (self.training and self.cfg.device_augment) else self._make_batch
 
         if workers <= 1:
             for g, s in zip(groups, seeds):
-                yield self._make_batch(g, s)
+                yield make(g, s)
             return
 
         window = max(1, self.cfg.prefetch) + workers
@@ -131,12 +169,12 @@ class InputPipeline:
             pending = deque()
             it = iter(zip(groups, seeds))
             for g, s in it:
-                pending.append(pool.submit(self._make_batch, g, s))
+                pending.append(pool.submit(make, g, s))
                 if len(pending) >= window:
                     break
             while pending:
                 fut = pending.popleft()
                 nxt = next(it, None)
                 if nxt is not None:
-                    pending.append(pool.submit(self._make_batch, *nxt))
+                    pending.append(pool.submit(make, *nxt))
                 yield fut.result()

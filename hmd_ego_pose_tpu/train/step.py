@@ -90,12 +90,29 @@ def _compute_losses(
     return bundle.total, (bundle, new_bn)
 
 
-def make_train_step(config: Config, model_points):
+def make_train_step(
+    config: Config,
+    model_points,
+    device_augment: bool = False,
+    device_data: bool = False,
+):
     """Build the jitted (state, batch, rng) -> (state, metrics) step.
 
     ``model_points``: (num_classes, P, 3) loss point subsample, a baked-in
     constant (the reference re-uploads it every step, train.py:192).
+
+    ``device_augment``: the step consumes an ``ops.augment_device.RawBatch``
+    of cached uint8 frames + raw labels and runs color/6-DoF augmentation +
+    preprocessing on device, fused ahead of the forward pass — the TPU-native
+    alternative to host DataLoader augmentation (this host has ONE core).
+
+    ``device_data``: the step consumes ``(DeviceData, idx)`` — the whole
+    dataset is HBM-resident (data/device_dataset.py) and the batch is
+    gathered by index on device; the host ships (B,) int32 per step.
+    Implies ``device_augment``.
     """
+    if device_data:
+        device_augment = True
     model_cfg, train_cfg, loss_cfg = config.model, config.train, config.train.loss
     # keep as a host-side numpy constant: it embeds into the lowered program
     # without a device->host read at trace time
@@ -103,7 +120,25 @@ def make_train_step(config: Config, model_points):
 
     model_points = np.asarray(model_points, np.float32)
 
-    def step(state: TrainState, batch: Batch, rng) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        if device_data:
+            from hmd_ego_pose_tpu.data.device_dataset import gather_raw_batch
+
+            data, idx = batch
+            batch = gather_raw_batch(data, idx)
+        if device_augment:
+            from hmd_ego_pose_tpu.ops.augment_device import augment_and_preprocess_batch
+
+            rng, aug_key = jax.random.split(rng)
+            dc = config.data
+            batch = augment_and_preprocess_batch(
+                aug_key, batch, model_cfg.image_size,
+                translation_scale_norm=dc.translation_scale_norm,
+                chance_no_augmentation=dc.chance_no_augmentation,
+                use_colorspace=dc.use_colorspace_augmentation,
+                use_6dof=dc.use_6dof_augmentation,
+                scale_range=dc.scale_6dof_augmentation,
+            )
         grad_fn = jax.value_and_grad(_compute_losses, has_aux=True)
         (total, (bundle, new_bn)), grads = grad_fn(
             state.params, state.bn_state, batch, rng, model_points,
@@ -139,6 +174,32 @@ def make_train_step(config: Config, model_points):
     step.init_state = init_state
     step.jitted = jax.jit(step, donate_argnums=(0,))
     return step
+
+
+def make_epoch_runner(config: Config, model_points):
+    """Whole-epoch training as ONE jitted program: lax.scan over the steps.
+
+    Requires HBM-resident data (device_data mode).  The host dispatches one
+    program per epoch with a (steps, B) index array and per-step PRNG keys —
+    on relay-attached TPUs each dispatch costs 35-50 ms once any result has
+    been fetched, so per-step dispatch would dominate the 7 ms step.
+    Returns (state, mean-metrics-dict) with the means reduced on device.
+    """
+    step = make_train_step(config, model_points, device_data=True)
+
+    def epoch(state, data, idxs, keys):
+        def body(carry, xs):
+            idx, key = xs
+            new_state, metrics = step(carry, (data, idx), key)
+            return new_state, metrics
+
+        state, ms = jax.lax.scan(body, state, (idxs, keys))
+        return state, jax.tree.map(jnp.mean, ms)
+
+    runner = jax.jit(epoch, donate_argnums=(0,))
+    runner.init_state = step.init_state
+    runner.step = step  # the single-step fallback sharing the same optimizer
+    return runner
 
 
 def make_eval_forward(config: Config, score_threshold: Optional[float] = None):

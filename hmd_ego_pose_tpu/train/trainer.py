@@ -25,7 +25,7 @@ from hmd_ego_pose_tpu.models import hmd_ego_pose
 from hmd_ego_pose_tpu.train.checkpoint import checkpoint_name, save_checkpoint
 from hmd_ego_pose_tpu.train.plateau import ReduceLROnPlateau
 from hmd_ego_pose_tpu.train.state import set_learning_rate
-from hmd_ego_pose_tpu.train.step import make_eval_forward, make_train_step
+from hmd_ego_pose_tpu.train.step import make_epoch_runner, make_eval_forward, make_train_step
 from hmd_ego_pose_tpu.utils.logging import MetricLogger
 
 
@@ -52,7 +52,25 @@ class Trainer:
             )
         model_points = train_dataset.model_points_for_loss(config.train.loss.num_model_points)
 
-        self.step_fn = make_train_step(config, model_points)
+        # HBM-resident dataset: upload once, gather batches by index on device
+        # (single-device only; under a mesh, per-host batches are shipped)
+        self._device_data = None
+        if config.data.device_resident and config.data.device_augment and mesh is None:
+            from hmd_ego_pose_tpu.data.device_dataset import build_device_data
+
+            self._device_data = build_device_data(
+                train_dataset, budget_bytes=config.data.device_resident_budget_bytes
+            )
+
+        if self._device_data is not None:
+            # whole-epoch scan program: one device dispatch per epoch
+            self.epoch_runner = make_epoch_runner(config, model_points)
+            self.step_fn = self.epoch_runner.step
+        else:
+            self.epoch_runner = None
+            self.step_fn = make_train_step(
+                config, model_points, device_augment=config.data.device_augment
+            )
         self.state = self.step_fn.init_state(params, bn_state)
         self.predict_fn = make_eval_forward(config)
         self.scheduler = ReduceLROnPlateau(
@@ -88,17 +106,46 @@ class Trainer:
             return batch
         return jax.tree.map(lambda x: jax.device_put(x, self._batch_sharding), batch)
 
+    def _epoch_batches(self):
+        """Per-step payloads from the host pipeline (Batch or RawBatch)."""
+        for batch in self.pipeline.batches(oversample=self.config.train.oversample):
+            yield self._put(batch)
+
     def train_epoch(self, epoch: int, rng_key) -> Dict[str, float]:
         t0 = time.time()
-        sums: Dict[str, float] = {}
+        if self.epoch_runner is not None:
+            import jax.numpy as jnp
+            import numpy as np
+
+            idxs = self.pipeline.epoch_indices(self.config.train.oversample)
+            n = idxs.shape[0]
+            keys = jax.random.split(rng_key, n)
+            self.state, means_dev = self.epoch_runner(
+                self.state, self._device_data, jnp.asarray(idxs.astype(np.int32)), keys
+            )
+            # values stay DEVICE scalars: fit() floats them only at eval
+            # epochs (the first fetch permanently degrades a relay session)
+            means = dict(means_dev)
+            means["epoch_seconds"] = time.time() - t0
+            means["steps"] = n
+            return means
+
+        # host-pipeline path: keep per-step metric arrays as device handles;
+        # reduce ONCE at epoch end (a per-step float() would sync the
+        # pipeline, and on a relay-attached TPU each fetch costs ~35-50 ms)
+        collected = []
         n = 0
-        for batch in self.pipeline.batches(oversample=self.config.train.oversample):
+        for batch in self._epoch_batches():
             rng_key, sub = jax.random.split(rng_key)
-            self.state, metrics = self.step_fn.jitted(self.state, self._put(batch), sub)
+            self.state, metrics = self.step_fn.jitted(self.state, batch, sub)
             n += 1
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        means = {k: v / max(n, 1) for k, v in sums.items()}
+            collected.append(metrics)
+        means = {}
+        if collected:
+            import jax.numpy as jnp
+
+            for k in collected[0]:
+                means[k] = float(jnp.mean(jnp.stack([m[k] for m in collected])))
         means["epoch_seconds"] = time.time() - t0
         means["steps"] = n
         return means
@@ -120,10 +167,26 @@ class Trainer:
         on_epoch_end: Optional[Callable] = None,
     ):
         epochs = epochs if epochs is not None else self.config.train.epochs
+        eval_every = max(1, self.config.train.eval_every)
         key = jax.random.PRNGKey(self.config.train.seed + 1)
+        pending = []  # (epoch, train metrics w/ possibly-device scalar values)
+        new_lr = self.scheduler.lr
         for epoch in range(epochs):
             key, sub = jax.random.split(key)
             train_metrics = self.train_epoch(epoch, sub)
+            pending.append((epoch, train_metrics))
+            if (epoch + 1) % eval_every != 0 and epoch != epochs - 1:
+                continue  # pure-compute epoch: no device->host fetch at all
+
+            # flush deferred train metrics (first float() on a relay-attached
+            # TPU permanently degrades the session — hence eval_every)
+            for ep, m in pending:
+                self.logger.log_scalars(
+                    ep, {"lr": new_lr, **{k: float(v) for k, v in m.items()}}
+                )
+            train_metrics = {k: float(v) for k, v in pending[-1][1].items()}
+            pending = []
+
             result = self.validate(max_images=max_eval_images)
 
             # plateau scheduler on the mixed point-distance mean (train.py:273)
@@ -131,7 +194,6 @@ class Trainer:
             new_lr = self.scheduler.step(metric)
             self.state = set_learning_rate(self.state, self.config.train, new_lr)
 
-            self.logger.log_scalars(epoch, {"lr": new_lr, **train_metrics})
             self.logger.log_scalars(epoch, {f"val/{k}": v for k, v in result.scalars().items()})
 
             if metric < self.best_metric:

@@ -179,8 +179,11 @@ def test_augment_6dof_projection_equivariance(train_dataset):
 
 def test_input_pipeline_batches(train_dataset):
     cfg = Config(model=ModelConfig(image_size=128))
+    # host-augmentation (reference) mode; device_augment mode is covered by
+    # test_input_pipeline_raw_batches + tests/test_augment_device.py
     pipe = InputPipeline(
-        train_dataset, DataConfig(), cfg.model, batch_size=2, training=True, seed=0
+        train_dataset, DataConfig(device_augment=False), cfg.model, batch_size=2,
+        training=True, seed=0
     )
     batches = list(pipe.batches(oversample=1, num_workers=2))
     assert len(batches) == len(train_dataset) // 2
@@ -192,6 +195,24 @@ def test_input_pipeline_batches(train_dataset):
     assert b.gt_valid.all()
     # rotation targets are normalized to [-1, 1]
     assert np.abs(np.asarray(b.gt_transformation[..., :3])).max() <= 1.0 + 1e-6
+
+
+def test_input_pipeline_raw_batches(train_dataset):
+    cfg = Config(model=ModelConfig(image_size=128))
+    pipe = InputPipeline(
+        train_dataset, DataConfig(device_augment=True), cfg.model, batch_size=2,
+        training=True, seed=0
+    )
+    batches = list(pipe.batches(oversample=1, num_workers=2))
+    assert len(batches) == len(train_dataset) // 2
+    b = batches[0]
+    h, w = train_dataset.load_image(0).shape[:2]
+    assert b.frames.shape == (2, h, w, 3) and b.frames.dtype == np.uint8
+    assert b.masks.shape == (2, h, w)
+    assert b.camera_fxfycxcy.shape == (2, 4)
+    assert b.gt_rotations.shape == (2, 1, 3)
+    assert b.gt_coords_3d.shape == (2, 1, 21, 3)
+    assert b.gt_valid.all()
 
 
 class _OracleDetector:
