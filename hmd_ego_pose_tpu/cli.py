@@ -134,6 +134,26 @@ def cmd_serve(args):
     server = PoseServer(engine, host=args.host, port=args.port)
     server.start()
     print(f"pose server listening on {server.address}")
+
+    responder = None
+    if args.signaling_url:
+        # register with a node-dss signaling service: answer HMD offers with
+        # this server's endpoint (NodeDssSignaler.cs bootstrap flow)
+        from hmd_ego_pose_tpu.serving.signaling_client import (
+            NodeDssSignalerClient, PoseEndpointResponder,
+        )
+
+        signaler = NodeDssSignalerClient(
+            args.signaling_url, args.local_peer_id, args.remote_peer_id
+        )
+        host, port = server.address
+        if args.advertise_host:
+            host = args.advertise_host
+        elif host in ("0.0.0.0", "::"):
+            host = "127.0.0.1"  # wildcard bind is not dialable; override for LAN
+        responder = PoseEndpointResponder(signaler, host, port)
+        responder.start()
+        print(f"answering offers for '{args.local_peer_id}' at {args.signaling_url}")
     try:
         import time
 
@@ -141,6 +161,8 @@ def cmd_serve(args):
             time.sleep(30)
             print(json.dumps(engine.stats()))
     except KeyboardInterrupt:
+        if responder is not None:
+            responder.stop()
         server.stop()
 
 
@@ -275,6 +297,12 @@ def main(argv=None):
     p.set_defaults(func=cmd_evaluate)
 
     p = sub.add_parser("serve", help="pose-streaming server (reference WebRTC sandbox)")
+    p.add_argument("--signaling-url", default=None,
+                   help="node-dss signaling service to register with (e.g. http://host:3000/)")
+    p.add_argument("--local-peer-id", default="workstation")
+    p.add_argument("--remote-peer-id", default="hmd")
+    p.add_argument("--advertise-host", default=None,
+                   help="endpoint host to advertise in signaling answers (default: bind host)")
     p.add_argument("--ckpt", default=None)
     p.add_argument("--phi", type=int, default=0)
     p.add_argument("--img-size", type=int, default=256)

@@ -41,6 +41,16 @@ def encode_frame_message(frame: np.ndarray, kind: int = KIND_RGB8) -> bytes:
     return struct.pack(HEADER_FMT, MAGIC, kind, h, w) + frame.tobytes()
 
 
+def encode_raw_frame_message(payload: bytes, kind: int, height: int, width: int) -> bytes:
+    """Frame message from an already-encoded payload (I420/NV12 planes)."""
+    if len(payload) != payload_size(kind, height, width):
+        raise ValueError(
+            f"payload is {len(payload)} bytes, kind {kind} at {height}x{width} "
+            f"needs {payload_size(kind, height, width)}"
+        )
+    return struct.pack(HEADER_FMT, MAGIC, kind, height, width) + payload
+
+
 def payload_size(kind: int, height: int, width: int) -> int:
     if kind == KIND_RGB8:
         return height * width * 3

@@ -95,7 +95,16 @@ class PoseClient:
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
 
     def infer(self, frame: np.ndarray):
-        self.sock.sendall(protocol.encode_frame_message(frame))
+        return self._roundtrip(protocol.encode_frame_message(frame))
+
+    def infer_encoded(self, payload: bytes, kind: int, height: int, width: int):
+        """Send an I420/NV12 payload (the reference HMD's frame formats)."""
+        return self._roundtrip(
+            protocol.encode_raw_frame_message(payload, kind, height, width)
+        )
+
+    def _roundtrip(self, message: bytes):
+        self.sock.sendall(message)
         packet = _recv_exact(self.sock, protocol.POSE_PACKET_BYTES)
         if packet is None:
             raise ConnectionError("server closed")

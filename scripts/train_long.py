@@ -1,0 +1,184 @@
+"""Long synthetic training run (VERDICT round-2 item 6), TPU, shift-based.
+
+Trains phi-0 from scratch (optionally from a converted torch state_dict, to
+exercise the checkpoint-conversion init path) on a >=500-frame synthetic
+colibri dataset for tens of thousands of steps, and appends per-shift eval
+metrics to <workdir>/history.jsonl + rewrites TRAIN_SYNTHETIC.md.
+
+Why shifts: on this environment's relay-attached TPU, the FIRST
+device->host read of a session permanently degrades program execution
+~1000x (BENCH_NOTES.md).  Each SHIFT is a fresh process that restores the
+checkpoint, trains `shift_epochs` fetch-free epochs (whole-epoch lax.scan,
+TrainConfig.eval_every=shift_epochs), then pays the degrade once for the
+final eval + checkpoint and exits.  The wrapper loop holds the plateau-LR
+state across shifts.  On a directly-attached TPU the same script works with
+a single shift.
+
+Usage:
+    python scripts/train_long.py --workdir /tmp/hmd_long \
+        --total-epochs 96 --shift-epochs 32 --num-frames 500
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_shift(args):
+    """One training shift (runs in its own process)."""
+    from hmd_ego_pose_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
+    from hmd_ego_pose_tpu.data.colibri import ColibriDataset
+    from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
+    from hmd_ego_pose_tpu.train.trainer import Trainer
+    from hmd_ego_pose_tpu.utils.logging import MetricLogger
+
+    ckpt_dir = os.path.join(args.workdir, "ckpt")
+    cfg = Config(
+        model=ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16"),
+        train=TrainConfig(
+            batch_size=args.batch_size,
+            learning_rate=args.lr,
+            epochs=args.shift_epochs,
+            oversample=10,
+            freeze_backbone=False,
+            checkpoint_dir=ckpt_dir,
+            eval_every=args.shift_epochs,
+        ),
+        data=DataConfig(dataset="syn_colibri"),
+        eval=EvalConfig(score_threshold=0.1),
+    )
+    root = os.path.join(args.workdir, "data")
+    train_ds = ColibriDataset(root, fold=0, partition="train")
+    val_ds = ColibriDataset(root, fold=0, partition="val")
+
+    params = bn_state = None
+    last = os.path.join(ckpt_dir, "last.npz")
+    if os.path.exists(last):
+        params, bn_state, meta = restore_checkpoint(last)
+        print(f"[shift] restored {last} (epoch {meta.get('epoch')})")
+    elif args.torch_init:
+        # exercise the torch-checkpoint init path: build the reference
+        # architecture in torch, convert its state_dict, train from it
+        params, bn_state = _torch_converted_init(cfg.model)
+        print("[shift] initialized from a converted torch state_dict")
+
+    results = {}
+
+    def on_epoch(epoch, train_metrics, eval_result):
+        results["train"] = train_metrics
+        results["eval"] = eval_result.scalars()
+
+    trainer = Trainer(
+        cfg, train_ds, val_ds, params=params, bn_state=bn_state,
+        logger=MetricLogger(log_dir=os.path.join(args.workdir, "runs")),
+    )
+    t0 = time.time()
+    trainer.fit(on_epoch_end=on_epoch)
+    results["shift_seconds"] = time.time() - t0
+    results["steps_per_epoch"] = int(
+        len(train_ds) * cfg.train.oversample // cfg.train.batch_size
+    )
+    with open(os.path.join(args.workdir, "shift_result.json"), "w") as f:
+        json.dump(results, f)
+
+
+def _torch_converted_init(model_cfg):
+    """Torch default-init reference model -> converter -> jax params."""
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+    import torch
+    from torch_ref import TorchHMDEgoPose
+
+    from hmd_ego_pose_tpu.models import hmd_ego_pose
+    from hmd_ego_pose_tpu.models.weights import convert_torch_state_dict
+
+    tm = TorchHMDEgoPose(model_cfg)
+    # keep torch's own conv init; set the classifier header bias to the
+    # focal prior so early training is stable (backbone.py:127-133 ends up
+    # random there because the reference's strict load fails)
+    with torch.no_grad():
+        tm.classifier.header.pointwise_conv.conv.bias.fill_(-4.59511985013459)
+    params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), model_cfg)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, bn_state, report = convert_torch_state_dict(sd, params, bn_state, model_cfg)
+    assert not report["missing"] and not report["unused"], report
+    return params, bn_state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--total-epochs", type=int, default=96)
+    ap.add_argument("--shift-epochs", type=int, default=32)
+    ap.add_argument("--num-frames", type=int, default=500)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--torch-init", action="store_true")
+    ap.add_argument("--_shift", action="store_true", help="internal: run one shift")
+    args = ap.parse_args()
+
+    if args._shift:
+        run_shift(args)
+        return
+
+    os.makedirs(args.workdir, exist_ok=True)
+    root = os.path.join(args.workdir, "data")
+    if not os.path.isdir(root):
+        from hmd_ego_pose_tpu.data.synthetic import generate_synthetic_colibri
+
+        # 256^2 frames: image_scale = 1, the geometry of the real colibri
+        # camera (camera_params.txt px=py=128 -> 256-px frames)
+        generate_synthetic_colibri(root, num_frames=args.num_frames, image_size=(256, 256))
+        print(f"generated {args.num_frames}-frame synthetic dataset at {root}")
+
+    from hmd_ego_pose_tpu.train.plateau import ReduceLROnPlateau
+
+    sched = ReduceLROnPlateau(args.lr, factor=0.5, patience=2, min_lr=1e-6)
+    history_path = os.path.join(args.workdir, "history.jsonl")
+    lr = args.lr
+    shifts = (args.total_epochs + args.shift_epochs - 1) // args.shift_epochs
+    for shift in range(shifts):
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--_shift",
+            "--workdir", args.workdir,
+            "--shift-epochs", str(args.shift_epochs),
+            "--batch-size", str(args.batch_size),
+            "--lr", str(lr),
+        ]
+        if args.torch_init and shift == 0:
+            cmd.append("--torch-init")
+        print(f"[wrapper] shift {shift + 1}/{shifts} (lr={lr:.2e})")
+        t0 = time.time()
+        proc = subprocess.run(cmd)
+        if proc.returncode != 0:
+            raise RuntimeError(f"shift {shift} failed rc={proc.returncode}")
+        with open(os.path.join(args.workdir, "shift_result.json")) as f:
+            res = json.load(f)
+        res["shift"] = shift
+        res["epochs_done"] = (shift + 1) * args.shift_epochs
+        res["steps_done"] = res["epochs_done"] * res["steps_per_epoch"]
+        res["lr"] = lr
+        res["wall_seconds"] = time.time() - t0
+        with open(history_path, "a") as f:
+            f.write(json.dumps(res) + "\n")
+        ev = res["eval"]
+        print(
+            f"[wrapper] shift {shift + 1}: steps={res['steps_done']} "
+            f"mAP={ev['mean_ap']:.3f} t_err={ev['translation_error_mean_mm']:.1f}mm "
+            f"r_err={ev['rotation_error_mean_deg']:.1f}deg "
+            f"ADD={ev['add_accuracy']:.3f} ({res['wall_seconds']:.0f}s)"
+        )
+        lr = sched.step(ev["mixed_point_distance_mean_mm"])
+    print(f"[wrapper] done; history at {history_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,6 @@
 """Serving-path tests: protocol, native frame ingest, engine, TCP server."""
 
+import json
 import math
 import threading
 
@@ -237,3 +238,71 @@ def test_tcp_server_end_to_end(small_engine):
     finally:
         server._server.shutdown()
         server._server.server_close()
+
+
+def _rgb_to_i420(rgb: np.ndarray) -> bytes:
+    """BT.601 limited-range RGB -> planar I420 (test encoder)."""
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    y = ((66 * r + 129 * g + 25 * b + 128) >> 8) + 16
+    u = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+    v = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+    y = np.clip(y, 16, 235).astype(np.uint8)
+    u = np.clip(u[::2, ::2], 16, 240).astype(np.uint8)
+    v = np.clip(v[::2, ::2], 16, 240).astype(np.uint8)
+    return y.tobytes() + u.tobytes() + v.tobytes()
+
+
+def test_signaling_bootstrap_i420_pose_loopback(small_engine):
+    """The reference's session shape end-to-end: node-dss signaling
+    handshake (offer -> answer with the media endpoint), then I420 frames
+    in -> 24-byte pose packets out (NodeDssSignaler.cs + Program.cs:100-290,
+    with the RTP leg carried by the framed TCP transport)."""
+    from hmd_ego_pose_tpu.serving.signaling import SignalingServer
+    from hmd_ego_pose_tpu.serving.signaling_client import (
+        ANSWER, OFFER, Message, NodeDssSignalerClient, PoseEndpointResponder,
+    )
+
+    sig = SignalingServer(port=0)
+    sig.start()
+    pose_server = PoseServer(small_engine, port=0)
+    pose_server.start()
+    responder = None
+    try:
+        host, port = sig.address
+        url = f"http://{host}:{port}/"
+
+        # workstation side: answer offers with the pose endpoint
+        ws_signaler = NodeDssSignalerClient(url, "ws", "hmd", poll_interval=0.02)
+        ph, pp = pose_server.address
+        responder = PoseEndpointResponder(ws_signaler, ph, pp)
+        responder.start()
+
+        # HMD side: offer -> poll for the answer -> dial the endpoint
+        hmd = NodeDssSignalerClient(url, "hmd", "ws", poll_interval=0.02)
+        hmd.send(Message(OFFER, "pseudo-sdp"))
+        answer = hmd.wait_for(ANSWER, timeout=10.0)
+        assert answer is not None, "no answer from the endpoint responder"
+        endpoint = json.loads(answer.data)
+        assert "i420" in endpoint["frame_kinds"]
+
+        client = PoseClient(endpoint["host"], endpoint["port"])
+        try:
+            rng = np.random.RandomState(5)
+            rgb = rng.randint(0, 255, size=(96, 96, 3)).astype(np.uint8)
+            payload = _rgb_to_i420(rgb)
+            for _ in range(2):  # stream two frames
+                result = client.infer_encoded(payload, protocol.KIND_I420, 96, 96)
+                assert result is not None
+                rotation, translation = result
+                assert rotation.shape == (3,) and translation.shape == (3,)
+        finally:
+            client.close()
+    finally:
+        if responder is not None:
+            responder.stop()
+        # shut down the TCP server only — the engine is a module fixture
+        pose_server._server.shutdown()
+        pose_server._server.server_close()
+        sig.stop()
