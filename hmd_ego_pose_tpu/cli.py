@@ -207,6 +207,19 @@ def cmd_export(args):
     load_and_verify(args.out_dir)
     print(f"exported + verified StableHLO artifact in {out}")
 
+    if args.quantize_int8:
+        # distribution artifact: int8 weight checkpoint (~4x smaller),
+        # restored transparently by restore_checkpoint
+        from hmd_ego_pose_tpu.train.checkpoint import save_checkpoint
+
+        fp32_path = save_checkpoint(args.out_dir, "weights_fp32", params, bn_state)
+        int8_path = save_checkpoint(args.out_dir, "weights_int8", params, bn_state,
+                                    backend="int8")
+        fp32_mb = os.path.getsize(fp32_path) / 1e6
+        int8_mb = os.path.getsize(int8_path) / 1e6
+        print(f"int8 checkpoint: {int8_mb:.1f} MB vs fp32 {fp32_mb:.1f} MB "
+              f"({fp32_mb / int8_mb:.2f}x smaller)")
+
 
 def cmd_parity(args):
     """Convert a reference torch checkpoint and dump raw head outputs +
@@ -323,6 +336,8 @@ def main(argv=None):
     p.set_defaults(func=cmd_debug)
 
     p = sub.add_parser("export", help="StableHLO export + verify (reference ONNX export)")
+    p.add_argument("--quantize-int8", action="store_true",
+                   help="also write an int8-quantized weight checkpoint for distribution")
     p.add_argument("--ckpt", default=None)
     p.add_argument("--phi", type=int, default=0)
     p.add_argument("--img-size", type=int, default=256)

@@ -63,13 +63,26 @@ def save_checkpoint(
     metadata: Optional[Dict[str, Any]] = None,
     backend: str = "npz",
 ) -> str:
-    """Save a checkpoint; ``backend``: "npz" (portable, default) or "orbax"."""
+    """Save a checkpoint; ``backend``: "npz" (portable, default), "orbax",
+    or "int8" (weights symmetric-per-channel int8-quantized for distribution,
+    ~4x smaller; restore dequantizes transparently)."""
     os.makedirs(directory, exist_ok=True)
     if backend == "orbax":
         return _save_orbax(directory, name, params, bn_state, metadata)
     path = os.path.join(directory, name + ".npz")
     flat = {}
-    flat.update({"params/" + k: np.asarray(v) for k, v in _flatten(jax.device_get(params)).items()})
+    if backend == "int8":
+        from hmd_ego_pose_tpu.ops.quantization import quantize_tree
+
+        packed = quantize_tree(jax.device_get(params))
+        flat["__format__"] = np.asarray("int8")
+        flat.update(
+            {"params/" + k: np.asarray(v) for k, v in _flatten(packed).items()}
+        )
+    else:
+        flat.update(
+            {"params/" + k: np.asarray(v) for k, v in _flatten(jax.device_get(params)).items()}
+        )
     flat.update({"bn/" + k: np.asarray(v) for k, v in _flatten(jax.device_get(bn_state)).items()})
     np.savez(path, **flat)
     with open(os.path.join(directory, name + ".json"), "w") as f:
@@ -84,12 +97,17 @@ def restore_checkpoint(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
     data = np.load(path)
     params_flat = {k[len("params/"):]: data[k] for k in data.files if k.startswith("params/")}
     bn_flat = {k[len("bn/"):]: data[k] for k in data.files if k.startswith("bn/")}
+    params = _unflatten(params_flat)
+    if "__format__" in data.files and str(data["__format__"]) == "int8":
+        from hmd_ego_pose_tpu.ops.quantization import dequantize_tree
+
+        params = dequantize_tree(params)
     meta_path = path[: -len(".npz")] + ".json"
     metadata = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             metadata = json.load(f)
-    return _unflatten(params_flat), _unflatten(bn_flat), metadata
+    return params, _unflatten(bn_flat), metadata
 
 
 def _save_orbax(directory, name, params, bn_state, metadata):

@@ -61,3 +61,38 @@ def test_tree_compression_and_model_accuracy():
     assert float(jnp.max(jnp.abs(got.classification - ref.classification))) < 0.05
     # int8 noise must actually be present (not a trivial identity)
     assert float(jnp.max(jnp.abs(got.regression - ref.regression))) > 0
+
+
+def test_int8_checkpoint_backend_roundtrip(tmp_path):
+    """PRODUCTION consumer: save_checkpoint(backend='int8') -> transparent
+    dequantizing restore; forward outputs stay close to fp32."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from hmd_ego_pose_tpu.config import ModelConfig
+    from hmd_ego_pose_tpu.models import hmd_ego_pose
+    from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = ModelConfig(phi=0, image_size=128)
+    params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+
+    fp32 = save_checkpoint(str(tmp_path), "w_fp32", params, bn_state)
+    int8 = save_checkpoint(str(tmp_path), "w_int8", params, bn_state, backend="int8")
+    ratio = os.path.getsize(fp32) / os.path.getsize(int8)
+    assert ratio > 3.0, f"int8 checkpoint only {ratio:.2f}x smaller"
+
+    q_params, q_bn, _ = restore_checkpoint(int8)
+    # same tree structure
+    assert jax.tree.structure(q_params) == jax.tree.structure(params)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(size=(1, 128, 128, 3)).astype(np.float32) * 0.3)
+    base, _ = hmd_ego_pose.apply(params, bn_state, x, cfg)
+    quant, _ = hmd_ego_pose.apply(
+        jax.tree.map(jnp.asarray, q_params), jax.tree.map(jnp.asarray, q_bn), x, cfg
+    )
+    # int8 weight error is small but nonzero
+    diff = float(jnp.max(jnp.abs(base.regression - quant.regression)))
+    assert 0 < diff < 0.3, diff
