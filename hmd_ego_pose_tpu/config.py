@@ -174,6 +174,13 @@ class LossConfig:
     focal_gamma: float = 1.5
     smooth_l1_sigma: float = 3.0
     num_model_points: int = 500  # 3-D point subsample used in the rotation loss
+    # fixed-size positive-anchor slice in the transformation loss (the
+    # reference uses a dynamic gather of all positives, loss.py:330-428).
+    # Exact whenever the true positive count <= cap: measured worst case for
+    # a single object is 44 positives at 256^2 / 46 at 512^2 over a box
+    # size/aspect sweep (tests/test_losses.py pins this); scale with
+    # max-objects-per-image for multi-object datasets.
+    max_positive_anchors: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -90,6 +90,13 @@ def transformation_loss(
 ):
     """Rotation point-distance + translation smooth-L1 (loss.py:275-428).
 
+    The reference gathers ALL positive anchors dynamically; a jit program
+    needs static shapes, so the top-``max_positive_anchors`` positives are
+    sliced (all of them score identically, so any cap >= the true count is
+    EXACT).  The single-object worst case is 44/46 positives at 256/512 px
+    (pinned by tests/test_losses.py::test_positive_anchor_cap_covers_worst_case);
+    LossConfig.max_positive_anchors scales it for multi-object datasets.
+
     Args:
         gt_transformation: (N, 8) [rot/pi (3), trans (3), is_sym, class].
         pred_transformation: (N, 6) [rot/pi (3), trans (3)] — translation
@@ -153,7 +160,6 @@ def total_loss(
     hand,
     model_3d_points,
     config: LossConfig = LossConfig(),
-    max_positive_anchors: int = 64,
 ) -> LossBundle:
     """Batch loss with the reference's weighting (train.py:63-68, loss.py:94-98).
 
@@ -170,7 +176,7 @@ def total_loss(
         targets.regression, regression, targets.state
     ).mean()
     rot, trans = jax.vmap(
-        lambda g, p, s: transformation_loss(g, p, s, model_3d_points, max_positive_anchors)
+        lambda g, p, s: transformation_loss(g, p, s, model_3d_points, config.max_positive_anchors)
     )(targets.transformation, transformation_pred, targets.state)
     rot, trans = rot.mean(), trans.mean()
     hnd = jax.vmap(lambda t, p, s: smooth_l1_loss(t, p, s, config.smooth_l1_sigma))(

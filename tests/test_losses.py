@@ -296,3 +296,75 @@ def test_total_loss_runs_and_weights():
     )
     np.testing.assert_allclose(float(bundle.total), float(total), rtol=1e-6)
     assert all(np.isfinite(float(x)) for x in bundle)
+
+
+def test_positive_anchor_cap_covers_worst_case():
+    """LossConfig.max_positive_anchors must exceed the worst-case positive
+    count for single-object scenes (VERDICT round-1 weak #7): the fixed-size
+    top-k slice in transformation_loss is exact iff num_pos <= cap."""
+    from hmd_ego_pose_tpu.config import LossConfig
+    from hmd_ego_pose_tpu.ops.anchors import anchors_for_shape
+    from hmd_ego_pose_tpu.ops.target_assign import assign_targets
+
+    cap = LossConfig().max_positive_anchors
+    worst = 0
+    for size in (256, 512):
+        anchors, _ = anchors_for_shape((size, size))
+        boxes = []
+        for frac in (0.1, 0.25, 0.5, 0.75, 1.0):
+            w = h = size * frac
+            boxes.append([size / 2 - w / 2, size / 2 - h / 2, size / 2 + w / 2, size / 2 + h / 2])
+        boxes += [[0, 0, size, size * 0.4], [0, 0, size * 0.4, size], [0, 0, size * 0.8, size * 0.8]]
+        for box in boxes:
+            t = assign_targets(
+                jnp.asarray(anchors), jnp.asarray([box], jnp.float32),
+                jnp.zeros(1, jnp.int32), jnp.zeros((1, 8), jnp.float32),
+                jnp.zeros((1, 63), jnp.float32), jnp.ones(1, bool),
+                num_classes=1, image_size=size,
+            )
+            worst = max(worst, int(np.sum(np.asarray(t.state) == 1.0)))
+    assert worst <= cap, (
+        f"worst-case positives {worst} exceeds max_positive_anchors {cap}: "
+        "the transformation loss would silently drop positives"
+    )
+    assert worst >= 30, "sweep looks degenerate — did target assignment change?"
+
+
+def test_transformation_loss_exact_vs_uncapped():
+    """With a cap large enough, the sliced loss equals a full dynamic-gather
+    numpy re-derivation over ALL positives."""
+    from hmd_ego_pose_tpu.losses import transformation_loss
+    from hmd_ego_pose_tpu.ops.geometry import np_axis_angle_to_matrix
+
+    rng = np.random.RandomState(0)
+    n, p3d = 200, 50
+    state = np.zeros(n, np.float32)
+    pos = rng.choice(n, 37, replace=False)
+    state[pos] = 1.0
+    gt = np.zeros((n, 8), np.float32)
+    gt[:, :3] = rng.normal(scale=0.3, size=(n, 3))
+    gt[:, 3:6] = rng.normal(scale=50, size=(n, 3))
+    gt[:, 6] = 0.0  # asymmetric
+    pred = np.zeros((n, 6), np.float32)
+    pred[:, :3] = rng.normal(scale=0.3, size=(n, 3))
+    pred[:, 3:6] = rng.normal(scale=50, size=(n, 3))
+    points = rng.normal(scale=30, size=(1, p3d, 3)).astype(np.float32)
+
+    rot, trans = transformation_loss(
+        jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(state), jnp.asarray(points),
+        max_positive_anchors=64,
+    )
+
+    # numpy oracle over all positives
+    rot_sum = trans_sum = 0.0
+    for i in pos:
+        r_gt = np_axis_angle_to_matrix(gt[i, :3] * np.pi)
+        r_pr = np_axis_angle_to_matrix(pred[i, :3] * np.pi)
+        pg = points[0] @ r_gt.T
+        pp = points[0] @ r_pr.T
+        rot_sum += np.linalg.norm(pg - pp, axis=-1).mean()
+        # torch.nn.SmoothL1Loss default (beta = 1), mean over elements
+        d = np.abs(gt[i, 3:6] - pred[i, 3:6])
+        trans_sum += np.where(d < 1.0, 0.5 * d ** 2, d - 0.5).sum()
+    np.testing.assert_allclose(float(rot), rot_sum / 37, rtol=1e-3)
+    np.testing.assert_allclose(float(trans), trans_sum / (37 * 3), rtol=1e-3)
