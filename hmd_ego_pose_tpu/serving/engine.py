@@ -132,7 +132,9 @@ class InferenceEngine:
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=serving_config.queue_depth)
         self._stop = threading.Event()
         self.queue_stats = LatencyStats()
-        self.device_stats = LatencyStats()
+        self.device_stats = LatencyStats()  # upload+execute+fetch combined
+        self.execute_stats = LatencyStats()  # dispatch + on-device compute
+        self.fetch_stats = LatencyStats()  # device->host result read
         self.total_stats = LatencyStats()
 
         # ONE fixed batch size: the chip is latency-bound at these model
@@ -203,6 +205,8 @@ class InferenceEngine:
         return {
             "queue": self.queue_stats.summary(),
             "device": self.device_stats.summary(),
+            "execute": self.execute_stats.summary(),
+            "fetch": self.fetch_stats.summary(),
             "total": self.total_stats.summary(),
         }
 
@@ -217,6 +221,12 @@ class InferenceEngine:
         return np.array([480.0, 480.0, w / 2, h / 2, 1000.0, scale], np.float32)
 
     def _run_device(self, frames_u8: np.ndarray, cameras: np.ndarray):
+        """Upload -> execute -> fetch, with execute and fetch timed APART:
+        on remote-attached TPUs the result fetch can cost many times the
+        compute (BENCH_NOTES.md), and conflating them made round-1's serving
+        stats unusable for capacity planning."""
+        import time
+
         import jax
 
         frames = self._jnp.asarray(frames_u8)
@@ -224,8 +234,14 @@ class InferenceEngine:
         if self._frame_sharding is not None:
             frames = jax.device_put(frames, self._frame_sharding)
             cams = jax.device_put(cams, self._frame_sharding)
+        t0 = time.perf_counter()
         det = self._predict(self.params, self.bn_state, frames, cams)
-        return jax.device_get(det)
+        jax.block_until_ready(det)
+        t1 = time.perf_counter()
+        out = jax.device_get(det)
+        self.execute_stats.record((t1 - t0) * 1000)
+        self.fetch_stats.record((time.perf_counter() - t1) * 1000)
+        return out
 
     def _dispatch_loop(self):
         h, w = self.frame_shape

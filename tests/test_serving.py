@@ -306,3 +306,13 @@ def test_signaling_bootstrap_i420_pose_loopback(small_engine):
         pose_server._server.shutdown()
         pose_server._server.server_close()
         sig.stop()
+
+
+def test_engine_separates_execute_and_fetch_stats(small_engine):
+    rng = np.random.RandomState(9)
+    frame = rng.randint(0, 255, size=(96, 96, 3)).astype(np.uint8)
+    small_engine.infer_blocking(frame)
+    s = small_engine.stats()
+    assert s["execute"]["count"] >= 1 and s["fetch"]["count"] >= 1
+    # execute + fetch <= combined device time (upload adds the remainder)
+    assert s["execute"]["p50_ms"] + s["fetch"]["p50_ms"] <= s["device"]["p50_ms"] * 1.5
