@@ -164,12 +164,27 @@ def make_train_step(
 
     def init_state(params, bn_state) -> TrainState:
         step.tx = make_optimizer(train_cfg, params)
-        return TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            bn_state=bn_state,
-            opt_state=step.tx.init(params),
-        )
+
+        def build():
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                bn_state=bn_state,
+                opt_state=step.tx.init(params),
+            )
+
+        # optimizer-state init is hundreds of tiny zeros_like programs; run
+        # them on the host backend rather than a (possibly remote) accelerator
+        # — buffers migrate in bulk at the first step (see hmd_ego_pose.init)
+        if jax.default_backend() != "cpu":
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    return build()
+        return build()
 
     step.init_state = init_state
     step.jitted = jax.jit(step, donate_argnums=(0,))
