@@ -33,7 +33,7 @@ def main():
     from hmd_ego_pose_tpu.models import hmd_ego_pose
 
     config = ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16")
-    params, state = hmd_ego_pose.init(jax.random.PRNGKey(0), config)
+    params, state = hmd_ego_pose.init(0, config)
 
     predict = hmd_ego_pose.make_predict_fn(config, score_threshold=0.5, max_detections=100)
 

@@ -114,7 +114,7 @@ def cmd_serve(args):
         params, bn_state, _ = restore_checkpoint(args.ckpt)
     else:
         print("WARNING: serving randomly initialized weights (no --ckpt)")
-        params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), model_cfg)
+        params, bn_state = hmd_ego_pose.init(0, model_cfg)
 
     default_camera = None
     if args.camera_params:
@@ -202,7 +202,7 @@ def cmd_export(args):
     if args.ckpt:
         params, bn_state, _ = restore_checkpoint(args.ckpt)
     else:
-        params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+        params, bn_state = hmd_ego_pose.init(0, cfg)
     out = export_inference(params, bn_state, cfg, args.out_dir)
     load_and_verify(args.out_dir)
     print(f"exported + verified StableHLO artifact in {out}")
@@ -235,7 +235,7 @@ def cmd_parity(args):
     from hmd_ego_pose_tpu.models.weights import convert_torch_state_dict
 
     cfg = ModelConfig(phi=args.phi, image_size=args.img_size)
-    params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+    params, bn_state = hmd_ego_pose.init(0, cfg)
 
     if args.torch_ckpt:
         import torch

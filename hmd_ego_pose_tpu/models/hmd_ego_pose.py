@@ -46,19 +46,41 @@ def init(key, config: ModelConfig) -> Tuple[Dict[str, Any], Dict[str, Any]]:
 
     Initialization runs on the HOST backend when an accelerator is the
     default: it is ~600 tiny random-op programs, and on a remote-attached
-    TPU each would pay a dispatch roundtrip (measured ~6 minutes over the
-    relay vs ~2 s on CPU).  jax's PRNG is backend-deterministic, so the
-    values are identical; buffers migrate to the accelerator in bulk at the
-    first jitted call.
+    TPU each would pay a dispatch roundtrip AND a fresh remote compile
+    (measured ~6 minutes over the relay vs ~40 s on CPU).  jax's PRNG is
+    backend-deterministic, so the values are identical.  The finished tree
+    is then transferred to the accelerator in ONE packed upload
+    (utils/device.py) — CPU-committed leaves left in place would be
+    re-uploaded on every non-donating jit call (measured 469 ms/call vs
+    0.76 ms for phi-0 predict over the relay).
+
+    ``key``: an int seed (preferred — the key is created host-side) or a
+    PRNG key array.  An ACCELERATOR-resident key forces the whole init onto
+    the accelerator: pulling the key back to the host would be a
+    device->host read, the permanent ~35 ms/exec degrade trigger on
+    relay-attached TPUs (BENCH_NOTES.md).
     """
     if jax.default_backend() != "cpu":
         try:
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
             cpu = None
-        if cpu is not None:
+        key_on_host = isinstance(key, int) or all(
+            d.platform == "cpu" for d in getattr(key, "devices", set)()
+        )
+        if cpu is not None and key_on_host:
+            from hmd_ego_pose_tpu.utils.device import to_default_device
+
             with jax.default_device(cpu):
-                return _init_impl(key, config)
+                if isinstance(key, int):
+                    key = jax.random.PRNGKey(key)
+                tree = _init_impl(key, config)
+            return to_default_device(tree)
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        return _init_impl(key, config)
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
     return _init_impl(key, config)
 
 

@@ -107,7 +107,11 @@ def restore_checkpoint(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             metadata = json.load(f)
-    return params, _unflatten(bn_flat), metadata
+    # bulk-upload to the accelerator: numpy leaves fed to a non-donating jit
+    # (serving, eval) would be re-uploaded on every call (utils/device.py)
+    from hmd_ego_pose_tpu.utils.device import to_default_device
+
+    return (*to_default_device((params, _unflatten(bn_flat))), metadata)
 
 
 def _save_orbax(directory, name, params, bn_state, metadata):
@@ -134,4 +138,6 @@ def _restore_orbax(path):
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             metadata = json.load(f)
-    return tree["params"], tree["bn_state"], metadata
+    from hmd_ego_pose_tpu.utils.device import to_default_device
+
+    return (*to_default_device((tree["params"], tree["bn_state"])), metadata)

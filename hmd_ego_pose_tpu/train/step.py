@@ -165,26 +165,42 @@ def make_train_step(
     def init_state(params, bn_state) -> TrainState:
         step.tx = make_optimizer(train_cfg, params)
 
-        def build():
-            return TrainState(
-                step=jnp.zeros((), jnp.int32),
-                params=params,
-                bn_state=bn_state,
-                opt_state=step.tx.init(params),
-            )
-
-        # optimizer-state init is hundreds of tiny zeros_like programs; run
-        # them on the host backend rather than a (possibly remote) accelerator
-        # — buffers migrate in bulk at the first step (see hmd_ego_pose.init)
+        # optimizer-state init is hundreds of tiny zeros_like programs; on a
+        # remote-attached accelerator each would pay a dispatch + remote
+        # compile.  The optimizer state depends on params only through
+        # shapes/dtypes (adam/sgd moments are zeros, counts start at 0,
+        # hyperparams come from config), so build it on the HOST from
+        # shape-matched host zeros — NEVER from accelerator-resident params,
+        # whose device->host read would permanently degrade relay sessions —
+        # and bulk-upload it in one packed transfer (utils/device.py).
+        # ``params``/``bn_state`` themselves are left wherever they live
+        # (already device-resident after init/restore).
         if jax.default_backend() != "cpu":
             try:
                 cpu = jax.devices("cpu")[0]
             except RuntimeError:
                 cpu = None
             if cpu is not None:
+                import numpy as np
+
+                from hmd_ego_pose_tpu.utils.device import to_default_device
+
+                host_zeros = jax.tree.map(
+                    lambda x: np.zeros(x.shape, x.dtype), params
+                )
                 with jax.default_device(cpu):
-                    return build()
-        return build()
+                    hot = (jnp.zeros((), jnp.int32), step.tx.init(host_zeros))
+                step_ctr, opt_state = to_default_device(hot)
+                return TrainState(
+                    step=step_ctr, params=params, bn_state=bn_state,
+                    opt_state=opt_state,
+                )
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            bn_state=bn_state,
+            opt_state=step.tx.init(params),
+        )
 
     step.init_state = init_state
     step.jitted = jax.jit(step, donate_argnums=(0,))

@@ -47,9 +47,9 @@ class Trainer:
         self.logger = logger or MetricLogger()
 
         if params is None:
-            params, bn_state = hmd_ego_pose.init(
-                jax.random.PRNGKey(config.train.seed), config.model
-            )
+            # int seed: the key is created host-side (accelerator-resident
+            # keys force on-device init; see hmd_ego_pose.init docstring)
+            params, bn_state = hmd_ego_pose.init(config.train.seed, config.model)
         model_points = train_dataset.model_points_for_loss(config.train.loss.num_model_points)
 
         # HBM-resident dataset: upload once, gather batches by index on device

@@ -45,7 +45,7 @@ def main(sections=("predict", "serving", "train")):
     lines = [f"## section run: backend={jax.default_backend()}", ""]
 
     cfg = ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16")
-    params, state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+    params, state = hmd_ego_pose.init(0, cfg)
 
     if "predict" in sections:
         lines.append("## Fused predict (256x256 preprocessed input, bf16)")
@@ -93,7 +93,7 @@ def main(sections=("predict", "serving", "train")):
                   train=TrainConfig(batch_size=16, freeze_backbone=False))
     model_points = (rng.normal(size=(1, 500, 3)) * 50).astype(np.float32)
     step = make_train_step(tcfg, model_points)
-    tparams, tbn = hmd_ego_pose.init(jax.random.PRNGKey(0), tcfg.model)
+    tparams, tbn = hmd_ego_pose.init(0, tcfg.model)
     tstate = step.init_state(tparams, tbn)
     b = 16
     batch = Batch(

@@ -30,7 +30,7 @@ def main(num_clients=4, frames_per_client=50, frame_size=480):
     from hmd_ego_pose_tpu.serving.server import PoseClient, PoseServer
 
     cfg = ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16")
-    params, state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+    params, state = hmd_ego_pose.init(0, cfg)
 
     engine = InferenceEngine(
         params, state, cfg,

@@ -64,7 +64,7 @@ def main(argv=None):
                 continue
             params, bn_state, _ = restore_checkpoint(matches[-1])
         else:
-            params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg.model)
+            params, bn_state = hmd_ego_pose.init(0, cfg.model)
 
         result = evaluate_model(ds, predict_fn, params, bn_state, cfg)
         rows.append((fold, len(ds), result))

@@ -209,3 +209,30 @@ def test_eval_format_report():
         "AverageSymmetricPointDistanceMean_in_mm:", "MixedAveragePointDistanceMean_in_mm:",
     ):
         assert label in text, label
+
+
+def test_pack_transfer_roundtrip():
+    """pack_transfer must reproduce every leaf exactly (values, dtypes,
+    shapes) through the per-dtype pack -> upload -> on-device unpack path
+    used for host-built init/checkpoint trees (utils/device.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hmd_ego_pose_tpu.utils.device import pack_transfer
+
+    rng = np.random.RandomState(0)
+    tree = {
+        "w": rng.normal(size=(7, 3, 3, 8)).astype(np.float32),
+        "b": rng.normal(size=(8,)).astype(np.float32),
+        "count": np.int32(3),
+        "mask": rng.rand(5) > 0.5,
+        "nested": {"m": rng.normal(size=(2, 4)).astype(np.float32),
+                   "steps": np.arange(6, dtype=np.int32).reshape(2, 3)},
+        "scalar": np.float32(2.5),
+    }
+    out = pack_transfer(tree)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(out)):
+        assert np.asarray(b).dtype == np.asarray(a).dtype
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))

@@ -155,3 +155,15 @@ def test_bn_config_is_threaded():
     v0 = np.asarray(ns_base["backbone"]["stem_bn"]["mean"])
     v1 = np.asarray(ns_mom["backbone"]["stem_bn"]["mean"])
     assert not np.allclose(v0, v1), "bn_momentum change did not affect EMA update"
+
+
+def test_init_accepts_int_seed():
+    """init(seed) must equal init(PRNGKey(seed)) — the int form is the
+    host-side key path used by every accelerator entry point (an
+    accelerator-resident key would force init onto the device; see
+    hmd_ego_pose.init / utils/device.py docstrings)."""
+    cfg = small_config()
+    p_int, s_int = hmd_ego_pose.init(0, cfg)
+    p_key, s_key = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+    for a, b in zip(jax.tree.leaves((p_int, s_int)), jax.tree.leaves((p_key, s_key))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
