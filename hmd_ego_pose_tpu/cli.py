@@ -235,7 +235,8 @@ def cmd_parity(args):
     from hmd_ego_pose_tpu.models.weights import convert_torch_state_dict
 
     cfg = ModelConfig(phi=args.phi, image_size=args.img_size)
-    params, bn_state = hmd_ego_pose.init(0, cfg)
+    # host template: the converter reads/merges it host-side (weights.py)
+    params, bn_state = hmd_ego_pose.init_host(0, cfg)
 
     if args.torch_ckpt:
         import torch
@@ -244,6 +245,9 @@ def cmd_parity(args):
         sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
         params, bn_state, report = convert_torch_state_dict(sd, params, bn_state, cfg, strict=not args.lenient)
         print(f"converted: {len(report['missing'])} missing, {len(report['unused'])} unused keys")
+    from hmd_ego_pose_tpu.utils.device import to_default_device
+
+    params, bn_state = to_default_device((params, bn_state))
 
     if args.input:
         x = np.load(args.input)

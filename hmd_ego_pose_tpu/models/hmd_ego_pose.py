@@ -84,6 +84,29 @@ def init(key, config: ModelConfig) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     return _init_impl(key, config)
 
 
+def init_host(key, config: ModelConfig) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Like :func:`init` but the tree STAYS on the host (CPU backend).
+
+    For consumers that must read/merge the values host-side — e.g. the
+    torch weight-converter template (models/weights.py) — where an
+    accelerator-resident tree would force device->host reads, the permanent
+    degrade trigger on relay-attached TPUs.  Values are identical to
+    ``init`` (jax's PRNG is backend-deterministic).
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is None:
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        return _init_impl(key, config)
+    with jax.default_device(cpu):
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        return _init_impl(key, config)
+
+
 def _init_impl(key, config: ModelConfig) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     keys = jax.random.split(key, 7)
     num_anchors = config.num_anchors_per_location

@@ -184,10 +184,23 @@ def convert_torch_state_dict(
 ):
     """Fill (copies of) params/bn_state from a torch state_dict.
 
-    ``params``/``bn_state`` provide the target structure (from
-    hmd_ego_pose.init); every mapped tensor is shape-checked.
+    ``params``/``bn_state`` provide the target structure and must be
+    HOST-resident (numpy or CPU-backend — use ``hmd_ego_pose.init_host``):
+    this function reads the template values, and reading accelerator
+    buffers back is the permanent-degrade trigger on relay-attached TPUs
+    (utils/device.py).  Every mapped tensor is shape-checked.
     """
     import jax
+
+    for leaf in jax.tree.leaves((params, bn_state)):
+        if isinstance(leaf, jax.Array) and any(
+            d.platform != "cpu" for d in leaf.devices()
+        ):
+            raise ValueError(
+                "convert_torch_state_dict needs a HOST-resident template "
+                "(use hmd_ego_pose.init_host): reading accelerator buffers "
+                "back permanently degrades relay-attached TPU sessions"
+            )
 
     sd = strip_prefixes(state_dict)
     params = jax.tree.map(np.asarray, params)

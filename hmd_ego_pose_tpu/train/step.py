@@ -183,14 +183,22 @@ def make_train_step(
             if cpu is not None:
                 import numpy as np
 
-                from hmd_ego_pose_tpu.utils.device import to_default_device
+                from hmd_ego_pose_tpu.utils.device import is_host_tree, to_default_device
 
                 host_zeros = jax.tree.map(
                     lambda x: np.zeros(x.shape, x.dtype), params
                 )
                 with jax.default_device(cpu):
                     hot = (jnp.zeros((), jnp.int32), step.tx.init(host_zeros))
-                step_ctr, opt_state = to_default_device(hot)
+                # params/bn from a host-side source (torch converter, npz
+                # without upload) join the same packed transfer; already
+                # device-resident trees are left in place
+                if is_host_tree((params, bn_state)):
+                    step_ctr, opt_state, params, bn_state = to_default_device(
+                        (*hot, params, bn_state)
+                    )
+                else:
+                    step_ctr, opt_state = to_default_device(hot)
                 return TrainState(
                     step=step_ctr, params=params, bn_state=bn_state,
                     opt_state=opt_state,

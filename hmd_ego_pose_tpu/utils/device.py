@@ -64,6 +64,19 @@ def pack_transfer(tree):
     return jax.tree.unflatten(treedef, new_leaves)
 
 
+def is_host_tree(tree) -> bool:
+    """True iff every leaf is host-resident (numpy or CPU-backend).
+
+    Metadata-only: never reads buffer contents, so it is safe on
+    accelerator trees.
+    """
+    return all(
+        not isinstance(x, jax.Array)
+        or all(d.platform == "cpu" for d in x.devices())
+        for x in jax.tree.leaves(tree)
+    )
+
+
 def to_default_device(tree):
     """Bulk-transfer a host-resident pytree to the default backend's devices.
 

@@ -106,7 +106,9 @@ def _torch_converted_init(model_cfg):
     # random there because the reference's strict load fails)
     with torch.no_grad():
         tm.classifier.header.pointwise_conv.conv.bias.fill_(-4.59511985013459)
-    params, bn_state = hmd_ego_pose.init(0, model_cfg)
+    # host template: the converter reads/merges host-side (weights.py);
+    # the Trainer's init_state bulk-uploads the merged tree
+    params, bn_state = hmd_ego_pose.init_host(0, model_cfg)
     sd = {k: v.numpy() for k, v in tm.state_dict().items()}
     params, bn_state, report = convert_torch_state_dict(sd, params, bn_state, model_cfg)
     assert not report["missing"] and not report["unused"], report
