@@ -124,6 +124,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--torch-init", action="store_true")
+    ap.add_argument("--shift-timeout", type=float, default=3600.0,
+                    help="kill + retry a shift after this many seconds "
+                         "(relay sessions can wedge on a lost RPC)")
+    ap.add_argument("--start-shift", type=int, default=0,
+                    help="resume the wrapper loop at this shift index "
+                         "(training state itself resumes from ckpt/last.npz)")
     ap.add_argument("--_shift", action="store_true", help="internal: run one shift")
     args = ap.parse_args()
 
@@ -147,7 +153,7 @@ def main():
     history_path = os.path.join(args.workdir, "history.jsonl")
     lr = args.lr
     shifts = (args.total_epochs + args.shift_epochs - 1) // args.shift_epochs
-    for shift in range(shifts):
+    for shift in range(args.start_shift, shifts):
         cmd = [
             sys.executable, os.path.abspath(__file__), "--_shift",
             "--workdir", args.workdir,
@@ -159,9 +165,22 @@ def main():
             cmd.append("--torch-init")
         print(f"[wrapper] shift {shift + 1}/{shifts} (lr={lr:.2e})")
         t0 = time.time()
-        proc = subprocess.run(cmd)
-        if proc.returncode != 0:
-            raise RuntimeError(f"shift {shift} failed rc={proc.returncode}")
+        # relay sessions can wedge forever on a lost RPC (observed once in
+        # ~5 shifts: futex-blocked main thread, relay fine from new
+        # sessions); bound each shift and retry once from last.npz
+        for attempt in range(2):
+            try:
+                proc = subprocess.run(cmd, timeout=args.shift_timeout)
+            except subprocess.TimeoutExpired:
+                print(f"[wrapper] shift {shift + 1} timed out after "
+                      f"{args.shift_timeout:.0f}s (attempt {attempt + 1}); killed")
+                continue
+            if proc.returncode == 0:
+                break
+            print(f"[wrapper] shift {shift + 1} rc={proc.returncode} "
+                  f"(attempt {attempt + 1})")
+        else:
+            raise RuntimeError(f"shift {shift} failed twice")
         with open(os.path.join(args.workdir, "shift_result.json")) as f:
             res = json.load(f)
         res["shift"] = shift
