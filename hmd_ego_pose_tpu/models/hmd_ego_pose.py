@@ -60,6 +60,10 @@ def init(key, config: ModelConfig) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     device->host read, the permanent ~35 ms/exec degrade trigger on
     relay-attached TPUs (BENCH_NOTES.md).
     """
+    # under tracing (eval_shape for param counting / FLOP analysis) there is
+    # no placement to manage — tracers have no .devices()
+    if isinstance(key, jax.core.Tracer):
+        return _init_impl(key, config)
     if jax.default_backend() != "cpu":
         try:
             cpu = jax.devices("cpu")[0]
