@@ -214,6 +214,17 @@ def op_blur(img, _m, _rng):
     return _conv3x3(img, k)
 
 
+def op_smooth(img, _m, _rng):
+    """PIL ImageFilter.SMOOTH 3x3 kernel (pillike.FilterSmooth, randaug.py:277)."""
+    k = np.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], np.float32) / 13.0
+    return _conv3x3(img, k)
+
+
+def op_identity(img, _m, _rng):
+    """meta.Identity (randaug.py:245): a real member of the op distribution."""
+    return img
+
+
 def _conv3x3(img, kernel):
     pad = np.pad(img.astype(np.float32), ((1, 1), (1, 1), (0, 0)), mode="edge")
     out = np.zeros_like(img, np.float32)
@@ -236,6 +247,8 @@ COLOR_OPS = (
     op_cutout,
     op_gaussian_noise,
     op_blur,
+    op_smooth,
+    op_identity,
 )
 
 

@@ -303,11 +303,18 @@ def _op_blur(img, m, key):
     return _conv3x3(img, _BLUR_K)
 
 
+def _op_smooth(img, m, key):
+    """PIL ImageFilter.SMOOTH (pillike.FilterSmooth, randaug.py:277)."""
+    return _conv3x3(img, _SMOOTH_K)
+
+
 def _op_identity(img, m, key):
     return img
 
 
-# order mirrors data.augment.COLOR_OPS; index 12 = inactive slot
+# order mirrors data.augment.COLOR_OPS (14 ops, matching the reference's
+# randaug.py:245-278 distribution); the final slot doubles as the
+# inactive-slot identity branch
 COLOR_OP_BRANCHES = (
     _op_autocontrast,
     _op_equalize,
@@ -321,10 +328,11 @@ COLOR_OP_BRANCHES = (
     _op_cutout,
     _op_gaussian_noise,
     _op_blur,
+    _op_smooth,
     _op_identity,
 )
 
-_NUM_OPS = 12
+_NUM_OPS = 14
 _MAX_SLOTS = 2  # host draws n in [1, 3)
 
 
@@ -339,7 +347,7 @@ def color_augment(image_u8, key, n_range=(1, 3), magnitude_range=(1, 14)):
     )
     inner = jax.random.split(k_inner, _MAX_SLOTS)
     for slot in range(_MAX_SLOTS):
-        idx = jnp.where(slot < n, op_ids[slot], _NUM_OPS)  # identity if inactive
+        idx = jnp.where(slot < n, op_ids[slot], _NUM_OPS - 1)  # identity if inactive
         img = jax.lax.switch(
             idx, COLOR_OP_BRANCHES, img, mags[slot].astype(jnp.float32), inner[slot]
         )

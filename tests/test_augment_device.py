@@ -90,7 +90,7 @@ def test_bbox_from_mask_matches_host():
     assert not bool(ok2)
 
 
-@pytest.mark.parametrize("op_idx", range(12))
+@pytest.mark.parametrize("op_idx", range(14))
 def test_color_ops_match_host(op_idx):
     """Each device color op == its numpy twin given identical (m, randoms)."""
     rng = np.random.RandomState(4 + op_idx)
