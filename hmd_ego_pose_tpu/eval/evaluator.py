@@ -2,27 +2,34 @@
 
 Equivalent of the reference's evaluate/evaluate_model
 (pytorch-sandbox/eval/common.py:56-321, 866-1121): run the fused on-device
-predict program per image, match detections to ground truth by IoU, score
-every 6-DoF/hand metric, and aggregate per class.  The inner products
-(point transforms, min-distances) are numpy on small arrays; the expensive
-part — forward + decode + NMS — is one jitted TPU program per image batch.
+predict program per image, match detections to ground truth by IoU per class
+label, score every 6-DoF/hand metric, and aggregate per class.  The inner
+products (point transforms, min-distances) are numpy on small arrays; the
+expensive part — forward + decode + NMS — is one jitted TPU program per
+image batch.
 
 Key behavioural parity points:
 * detections are filtered at ``score_threshold`` then capped to
   ``max_detections`` by descending score (eval/common.py:426-447);
 * predicted rotations are multiplied by pi, boxes divided by the image scale
   (eval/common.py:464-466);
+* detections and annotations are matched within the same class label
+  (eval/common.py:912-1041: the outer loop runs per label over per-label
+  detection/annotation lists);
 * a detection is a true positive if IoU >= iou_threshold against an
-  unclaimed annotation (eval/common.py:957-961);
+  unclaimed same-label annotation (eval/common.py:957-961);
 * the "mixed" metrics select ADD-S / sym point distance for symmetric
-  objects and ADD / asym otherwise (eval/common.py:1105-1121).
+  objects and ADD / asym otherwise (eval/common.py:1105-1121);
+* aggregation over classes is the UNWEIGHTED mean over labels with
+  annotations; zero-annotation labels contribute AP (0, 0) and are excluded
+  from every mean (eval/common.py:92-105 with weighted_average=False).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -57,9 +64,14 @@ class EvalResult:
     sym_point_distance_std_mm: float = 0.0
     mixed_point_distance_mean_mm: float = 0.0
     mixed_point_distance_std_mm: float = 0.0
+    # per-class breakdown (label -> EvalResult with per_class=None); not part
+    # of scalars() — the logger and schedulers consume the class means
+    per_class: Optional[Dict[int, "EvalResult"]] = None
 
     def scalars(self) -> Dict[str, float]:
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        d.pop("per_class", None)
+        return d
 
 
 def format_report(result: EvalResult) -> str:
@@ -99,6 +111,89 @@ def format_report(result: EvalResult) -> str:
     return "\n".join(lines)
 
 
+class _ClassAccumulator:
+    """Detection/TP statistics for ONE class label (streamed over images)."""
+
+    def __init__(self, model_points, diameter, is_symmetric):
+        self.model_points = model_points
+        self.diameter = diameter
+        self.is_symmetric = is_symmetric
+        self.false_positives = []
+        self.true_positives = []
+        self.scores = []
+        self.num_annotations = 0
+        self.tp_add, self.tp_5cm5deg, self.tp_2d = [], [], []
+        self.t_diffs, self.r_diffs, self.tip_diffs, self.hand_diffs = [], [], [], []
+        self.point_errors = []
+        self.tp_poses = []  # (r_gt, t_gt, r_pred, t_pred), for batched ADD-S
+
+    def finalize(self, ecfg) -> Tuple[EvalResult, int]:
+        """Per-class metrics (eval/common.py:1041-1103)."""
+        # batched ADD-S over every true positive of this class: one device
+        # program per class per eval (the reference recomputes a numpy
+        # distance matrix per detection, eval/common.py:736-760)
+        tp_add_s, sym_point_errors = M.add_s_batch(
+            self.model_points, self.diameter, self.tp_poses,
+            ecfg.diameter_threshold, ecfg.adds_max_points,
+        )
+
+        result = EvalResult()
+        n = self.num_annotations
+        if n == 0:
+            return result, 0
+
+        order = np.argsort(-np.asarray(self.scores)) if self.scores else np.array([], int)
+        fp = np.cumsum(np.asarray(self.false_positives, float)[order])
+        tp = np.cumsum(np.asarray(self.true_positives, float)[order])
+        recall = tp / n
+        precision = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+        result.mean_ap = M.compute_average_precision(recall, precision) if len(tp) else 0.0
+
+        def acc(flags):
+            return float(np.sum(flags)) / n if flags else 0.0
+
+        def mean_std(vals):
+            # no true positives -> infinitely bad distances (keeps
+            # best-checkpoint selection from latching onto an empty epoch);
+            # accuracies stay 0
+            return (float(np.mean(vals)), float(np.std(vals))) if vals else (float("inf"), float("inf"))
+
+        result.add_accuracy = acc(self.tp_add)
+        result.add_s_accuracy = acc(tp_add_s)
+        result.mixed_add_and_add_s_accuracy = (
+            result.add_s_accuracy if self.is_symmetric else result.add_accuracy
+        )
+        result.accuracy_5cm_5degree = acc(self.tp_5cm5deg)
+        result.accuracy_2d_projection = acc(self.tp_2d)
+        result.translation_error_mean_mm, result.translation_error_std_mm = mean_std(self.t_diffs)
+        result.rotation_error_mean_deg, result.rotation_error_std_deg = mean_std(self.r_diffs)
+        result.tip_error_mean_mm, result.tip_error_std_mm = mean_std(self.tip_diffs)
+        result.hand_error_mean_mm, result.hand_error_std_mm = mean_std(self.hand_diffs)
+        result.point_distance_mean_mm, result.point_distance_std_mm = mean_std(self.point_errors)
+        result.sym_point_distance_mean_mm, result.sym_point_distance_std_mm = mean_std(sym_point_errors)
+        if self.is_symmetric:
+            result.mixed_point_distance_mean_mm = result.sym_point_distance_mean_mm
+            result.mixed_point_distance_std_mm = result.sym_point_distance_std_mm
+        else:
+            result.mixed_point_distance_mean_mm = result.point_distance_mean_mm
+            result.mixed_point_distance_std_mm = result.point_distance_std_mm
+        return result, n
+
+
+def _aggregate_classes(per_class: Dict[int, Tuple[EvalResult, int]]) -> EvalResult:
+    """Unweighted class means, excluding zero-annotation labels
+    (eval/common.py:92-105, weighted_average=False)."""
+    present = {c: r for c, (r, n) in per_class.items() if n > 0}
+    agg = EvalResult(per_class={c: r for c, (r, _) in per_class.items()})
+    if not present:
+        return agg
+    fields = [f.name for f in dataclasses.fields(EvalResult) if f.name != "per_class"]
+    for name in fields:
+        vals = [getattr(r, name) for r in present.values()]
+        setattr(agg, name, float(np.mean(vals)))
+    return agg
+
+
 def evaluate_model(
     dataset,
     predict_fn,
@@ -118,6 +213,9 @@ def evaluate_model(
         save_path: when given, write detection overlays + samplevis panels per
             image (reference evaluate.py --is_save_images,
             eval/common.py:452-600).
+
+    Returns the class-mean EvalResult; ``result.per_class`` carries the
+    per-label breakdown (eval/common.py:912-1103's per-label dicts).
     """
     import jax.numpy as jnp
 
@@ -136,16 +234,17 @@ def evaluate_model(
     # image at a time, eval/common.py:377)
     eval_batch = max(1, ecfg.eval_batch_size)
 
-    model_points = dataset.get_models_3d_points_dict()[0]
-    diameter = dataset.get_objects_diameter_dict()[0]
-    is_symmetric = dataset.is_symmetric_object(dataset.class_labels_to_object_ids[0])
-
-    false_positives, true_positives, scores_all = [], [], []
-    num_annotations = 0
-    tp_add, tp_5cm5deg, tp_2d = [], [], []
-    t_diffs, r_diffs, tip_diffs, hand_diffs = [], [], [], []
-    point_errors = []
-    tp_poses = []  # (r_gt, t_gt, r_pred, t_pred) per TP, for batched ADD-S
+    # one accumulator per class label (eval/common.py:912: per-label loop)
+    points_by_label = dataset.get_models_3d_points_dict()
+    diameters = dataset.get_objects_diameter_dict()
+    accs: Dict[int, _ClassAccumulator] = {
+        c: _ClassAccumulator(
+            points_by_label[c],
+            diameters[c],
+            dataset.is_symmetric_object(dataset.class_labels_to_object_ids[c]),
+        )
+        for c in points_by_label
+    }
 
     # chunked device inference: pad the final chunk to the fixed batch size
     det_cache = {}
@@ -183,134 +282,99 @@ def evaluate_model(
 
         boxes = np.asarray(det.boxes[k]) / scale
         det_scores = np.asarray(det.scores[k])
+        det_labels = np.asarray(det.labels[k])
         rotations = np.asarray(det.rotation[k]) * math.pi
         translations = np.asarray(det.translation[k])
         hands = np.asarray(det.hand[k])
 
-        keep = np.where(det_scores > thr)[0]
-        order = np.argsort(-det_scores[keep])[: ecfg.max_detections]
-        keep = keep[order]
-
         anno = dataset.load_annotations(i)
-        gt_boxes = anno["bboxes"]
-        num_annotations += gt_boxes.shape[0]
-        claimed = set()
+        anno_labels = anno["labels"].astype(int)
 
-        for d in keep:
-            scores_all.append(det_scores[d])
-            if gt_boxes.shape[0] == 0:
-                false_positives.append(1)
-                true_positives.append(0)
-                continue
+        for c, acc in accs.items():
+            # per-label detections and annotations (eval/common.py:934-941)
+            keep = np.where((det_scores > thr) & (det_labels == c))[0]
+            order = np.argsort(-det_scores[keep])[: ecfg.max_detections]
+            keep = keep[order]
 
-            overlaps = iou_matrix_np(boxes[d: d + 1], gt_boxes)
-            j = int(np.argmax(overlaps[0]))
-            if overlaps[0, j] >= ecfg.iou_threshold and j not in claimed:
-                claimed.add(j)
-                false_positives.append(0)
-                true_positives.append(1)
+            gsel = np.where(anno_labels == c)[0]
+            gt_boxes = anno["bboxes"][gsel]
+            acc.num_annotations += gt_boxes.shape[0]
+            claimed = set()
 
-                r_gt = np_axis_angle_to_matrix(anno["rotations"][j, :3])
-                t_gt = anno["translations"][j]
-                r_pred = np_axis_angle_to_matrix(rotations[d])
-                t_pred = translations[d]
+            for d in keep:
+                acc.scores.append(det_scores[d])
+                if gt_boxes.shape[0] == 0:
+                    acc.false_positives.append(1)
+                    acc.true_positives.append(0)
+                    continue
 
-                ok_add, mean_add = M.check_add(
-                    model_points, diameter, r_gt, t_gt, r_pred, t_pred, ecfg.diameter_threshold
-                )
-                # ADD-S is deferred: all true-positive pose pairs run as ONE
-                # batched device program after the loop (M.add_s_batch)
-                tp_poses.append((r_gt, t_gt, r_pred, t_pred))
-                ok_5cm, t_dist, r_dist, tip_dist = M.check_5cm_5degree(
-                    r_gt, t_gt, r_pred, t_pred, dataset.load_drill_tip_offset(i)
-                )
-                ok_2d = M.check_2d_reprojection(
-                    model_points, r_gt, t_gt, r_pred, t_pred, cam_k, ecfg.pixel_threshold
-                )
-                hand_err = M.hand_mpjpe_mm(anno["coords_3d"][j], hands[d])
+                overlaps = iou_matrix_np(boxes[d: d + 1], gt_boxes)
+                j = int(np.argmax(overlaps[0]))
+                if overlaps[0, j] >= ecfg.iou_threshold and j not in claimed:
+                    claimed.add(j)
+                    acc.false_positives.append(0)
+                    acc.true_positives.append(1)
+                    ja = gsel[j]  # index back into the full annotation arrays
 
-                if save_path is not None:
-                    import os
+                    r_gt = np_axis_angle_to_matrix(anno["rotations"][ja, :3])
+                    t_gt = anno["translations"][ja]
+                    r_pred = np_axis_angle_to_matrix(rotations[d])
+                    t_pred = translations[d]
 
-                    from hmd_ego_pose_tpu.data.image import imwrite
-                    from hmd_ego_pose_tpu.eval.metrics import transform_points
-                    from hmd_ego_pose_tpu.utils.samplevis import draw_samplevis
-                    from hmd_ego_pose_tpu.utils.visualization import render_frame
-
-                    overlay = render_frame(
-                        raw, cam_k,
-                        model_info=getattr(dataset, "model_info", None),
-                        gt_pose=(anno["rotations"][j, :3], t_gt),
-                        pred_pose=(rotations[d], t_pred),
-                        gt_box=gt_boxes[j],
-                        pred_box=boxes[d],
-                        hand_3d=hands[d],
+                    ok_add, mean_add = M.check_add(
+                        acc.model_points, acc.diameter, r_gt, t_gt, r_pred, t_pred,
+                        ecfg.diameter_threshold,
                     )
-                    imwrite(os.path.join(save_path, f"det_{i:06d}.png"), overlay)
-                    draw_samplevis(
-                        raw, cam_k,
-                        gt_hand=anno["coords_3d"][j],
-                        pred_hand=hands[d].reshape(21, 3),
-                        gt_points=transform_points(model_points[::10], r_gt, t_gt),
-                        pred_points=transform_points(model_points[::10], r_pred, t_pred),
-                        save_path=os.path.join(save_path, f"samplevis_{i:06d}.png"),
+                    # ADD-S is deferred: all true-positive pose pairs run as
+                    # ONE batched device program per class (M.add_s_batch)
+                    acc.tp_poses.append((r_gt, t_gt, r_pred, t_pred))
+                    ok_5cm, t_dist, r_dist, tip_dist = M.check_5cm_5degree(
+                        r_gt, t_gt, r_pred, t_pred, dataset.load_drill_tip_offset(i)
                     )
+                    ok_2d = M.check_2d_reprojection(
+                        acc.model_points, r_gt, t_gt, r_pred, t_pred, cam_k,
+                        ecfg.pixel_threshold,
+                    )
+                    hand_err = M.hand_mpjpe_mm(anno["coords_3d"][ja], hands[d])
 
-                tp_add.append(ok_add)
-                tp_5cm5deg.append(ok_5cm)
-                tp_2d.append(ok_2d)
-                t_diffs.append(t_dist)
-                r_diffs.append(r_dist)
-                tip_diffs.append(tip_dist)
-                hand_diffs.append(hand_err)
-                point_errors.append(mean_add)
-            else:
-                false_positives.append(1)
-                true_positives.append(0)
+                    if save_path is not None:
+                        import os
 
-    # batched ADD-S over every true positive: one TPU program per eval epoch
-    # (the reference recomputes a numpy distance matrix per detection,
-    # eval/common.py:736-760)
-    tp_add_s, sym_point_errors = M.add_s_batch(
-        model_points, diameter, tp_poses,
-        ecfg.diameter_threshold, ecfg.adds_max_points,
-    )
+                        from hmd_ego_pose_tpu.data.image import imwrite
+                        from hmd_ego_pose_tpu.eval.metrics import transform_points
+                        from hmd_ego_pose_tpu.utils.samplevis import draw_samplevis
+                        from hmd_ego_pose_tpu.utils.visualization import render_frame
 
-    result = EvalResult()
-    if num_annotations == 0:
-        return result
+                        overlay = render_frame(
+                            raw, cam_k,
+                            model_info=getattr(dataset, "model_info", None),
+                            gt_pose=(anno["rotations"][ja, :3], t_gt),
+                            pred_pose=(rotations[d], t_pred),
+                            gt_box=gt_boxes[j],
+                            pred_box=boxes[d],
+                            hand_3d=hands[d],
+                        )
+                        imwrite(os.path.join(save_path, f"det_{i:06d}.png"), overlay)
+                        draw_samplevis(
+                            raw, cam_k,
+                            gt_hand=anno["coords_3d"][ja],
+                            pred_hand=hands[d].reshape(21, 3),
+                            gt_points=transform_points(acc.model_points[::10], r_gt, t_gt),
+                            pred_points=transform_points(acc.model_points[::10], r_pred, t_pred),
+                            save_path=os.path.join(save_path, f"samplevis_{i:06d}.png"),
+                        )
 
-    # AP over score-sorted detections
-    order = np.argsort(-np.asarray(scores_all)) if scores_all else np.array([], int)
-    fp = np.cumsum(np.asarray(false_positives, float)[order])
-    tp = np.cumsum(np.asarray(true_positives, float)[order])
-    recall = tp / num_annotations
-    precision = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
-    result.mean_ap = M.compute_average_precision(recall, precision) if len(tp) else 0.0
+                    acc.tp_add.append(ok_add)
+                    acc.tp_5cm5deg.append(ok_5cm)
+                    acc.tp_2d.append(ok_2d)
+                    acc.t_diffs.append(t_dist)
+                    acc.r_diffs.append(r_dist)
+                    acc.tip_diffs.append(tip_dist)
+                    acc.hand_diffs.append(hand_err)
+                    acc.point_errors.append(mean_add)
+                else:
+                    acc.false_positives.append(1)
+                    acc.true_positives.append(0)
 
-    def acc(flags):
-        return float(np.sum(flags)) / num_annotations if flags else 0.0
-
-    def mean_std(vals):
-        # no true positives -> infinitely bad distances (keeps best-checkpoint
-        # selection from latching onto an empty epoch); accuracies stay 0
-        return (float(np.mean(vals)), float(np.std(vals))) if vals else (float("inf"), float("inf"))
-
-    result.add_accuracy = acc(tp_add)
-    result.add_s_accuracy = acc(tp_add_s)
-    result.mixed_add_and_add_s_accuracy = result.add_s_accuracy if is_symmetric else result.add_accuracy
-    result.accuracy_5cm_5degree = acc(tp_5cm5deg)
-    result.accuracy_2d_projection = acc(tp_2d)
-    result.translation_error_mean_mm, result.translation_error_std_mm = mean_std(t_diffs)
-    result.rotation_error_mean_deg, result.rotation_error_std_deg = mean_std(r_diffs)
-    result.tip_error_mean_mm, result.tip_error_std_mm = mean_std(tip_diffs)
-    result.hand_error_mean_mm, result.hand_error_std_mm = mean_std(hand_diffs)
-    result.point_distance_mean_mm, result.point_distance_std_mm = mean_std(point_errors)
-    result.sym_point_distance_mean_mm, result.sym_point_distance_std_mm = mean_std(sym_point_errors)
-    if is_symmetric:
-        result.mixed_point_distance_mean_mm = result.sym_point_distance_mean_mm
-        result.mixed_point_distance_std_mm = result.sym_point_distance_std_mm
-    else:
-        result.mixed_point_distance_mean_mm = result.point_distance_mean_mm
-        result.mixed_point_distance_std_mm = result.point_distance_std_mm
-    return result
+    per_class = {c: acc.finalize(ecfg) for c, acc in accs.items()}
+    return _aggregate_classes(per_class)
