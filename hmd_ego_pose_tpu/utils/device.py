@@ -41,10 +41,13 @@ def pack_transfer(tree):
     # host-side numpy copies (CPU-backend or numpy leaves; cheap)
     host = [np.asarray(x) for x in leaves]
 
-    # one packed 1-D buffer per dtype, uploaded once each
-    packs = {}  # dtype str -> (list of raveled arrays, [(leaf_idx, offset, size, shape)])
+    # one packed 1-D buffer per dtype, uploaded once each.  Keyed by
+    # dtype.name, which is unique for extension dtypes too — dtype.str is
+    # '<V1' for EVERY 1-byte ml_dtypes type (float8_e4m3fn vs float8_e5m2
+    # would collide and mis-pack).
+    packs = {}  # dtype name -> (list of raveled arrays, [(leaf_idx, offset, size, shape)])
     for i, a in enumerate(host):
-        key = a.dtype.str
+        key = a.dtype.name
         buf, spans = packs.setdefault(key, ([], []))
         offset = sum(s[2] for s in spans)
         spans.append((i, offset, a.size, a.shape))
