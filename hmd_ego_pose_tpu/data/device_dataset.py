@@ -45,9 +45,18 @@ def estimate_bytes(dataset) -> int:
 
 
 def build_device_data(
-    dataset, max_objects: int = 1, budget_bytes: int = 8 << 30
+    dataset, max_objects: int = 1, budget_bytes: int = 8 << 30, mesh=None
 ) -> Optional[DeviceData]:
-    """Upload the dataset to the default device; None if over budget."""
+    """Upload the dataset to the default device; None if over budget.
+
+    Under a ``mesh`` the arrays are REPLICATED across it (each device holds a
+    full copy, so ``budget_bytes`` is a per-device bound either way): batch
+    gathers then need no cross-device communication — per-step indices are
+    sharded over the data axis and each device gathers its shard locally.
+    Sharding the frames over devices instead would cut HBM per device by
+    world size but turn every gather into an all-gather over ICI; colibri
+    datasets (<= a few GB decoded) fit replicated on a 16 GB v5e.
+    """
     if estimate_bytes(dataset) > budget_bytes:
         return None
 
@@ -82,23 +91,34 @@ def build_device_data(
         labels[i, :num] = anno["labels"][:num]
         valid[i, :num] = True
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(mesh, PartitionSpec())
+        put = lambda a: jax.device_put(a, repl)
+    else:
+        put = jnp.asarray
     return DeviceData(
-        frames=jnp.asarray(frames),
-        masks=jnp.asarray(masks),
-        camera_fxfycxcy=jnp.asarray(cam4),
-        gt_boxes=jnp.asarray(boxes),
-        gt_rotations=jnp.asarray(rots),
-        gt_is_sym=jnp.asarray(is_sym),
-        gt_translations=jnp.asarray(trans),
-        gt_coords_3d=jnp.asarray(coords),
-        gt_labels=jnp.asarray(labels),
-        gt_valid=jnp.asarray(valid),
+        frames=put(frames),
+        masks=put(masks),
+        camera_fxfycxcy=put(cam4),
+        gt_boxes=put(boxes),
+        gt_rotations=put(rots),
+        gt_is_sym=put(is_sym),
+        gt_translations=put(trans),
+        gt_coords_3d=put(coords),
+        gt_labels=put(labels),
+        gt_valid=put(valid),
     )
 
 
 def gather_raw_batch(data: DeviceData, idx) -> RawBatch:
-    """Device-side batch gather (inside jit): indices -> RawBatch."""
-    take = lambda a: jnp.take(a, idx, axis=0)
+    """Device-side batch gather (inside jit): indices -> RawBatch.
+
+    mode='clip': the default 'fill' mode turns an out-of-range index into
+    NaN rows (poisoning the whole step) and costs an extra select; indices
+    come from the host-side sampler, which guarantees range."""
+    take = lambda a: jnp.take(a, idx, axis=0, mode="clip")
     return RawBatch(
         frames=take(data.frames),
         masks=take(data.masks),

@@ -25,13 +25,20 @@ class ReduceLROnPlateau:
         self.best = float("inf")
         self.num_bad_epochs = 0
 
-    def step(self, metric: float) -> float:
-        """Record an epoch metric; returns the (possibly reduced) lr."""
+    def step(self, metric: float, n_epochs: int = 1) -> float:
+        """Record a metric covering ``n_epochs`` epochs; returns the lr.
+
+        ``patience`` is denominated in EPOCHS (torch semantics,
+        pytorch-sandbox/train.py:107-109 with per-epoch eval).  When eval is
+        amortized over ``eval_every`` epochs, callers pass that count so a
+        non-improving eval burns ``eval_every`` epochs of patience — not one.
+        With n_epochs=1 this is trace-exact vs torch (test_parallel.py).
+        """
         if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.num_bad_epochs = 0
         else:
-            self.num_bad_epochs += 1
+            self.num_bad_epochs += n_epochs
             if self.num_bad_epochs > self.patience:
                 self.lr = max(self.lr * self.factor, self.min_lr)
                 self.num_bad_epochs = 0

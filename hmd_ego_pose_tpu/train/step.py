@@ -95,6 +95,7 @@ def make_train_step(
     model_points,
     device_augment: bool = False,
     device_data: bool = False,
+    mesh=None,
 ):
     """Build the jitted (state, batch, rng) -> (state, metrics) step.
 
@@ -110,9 +111,28 @@ def make_train_step(
     dataset is HBM-resident (data/device_dataset.py) and the batch is
     gathered by index on device; the host ships (B,) int32 per step.
     Implies ``device_augment``.
+
+    ``mesh``: data-parallel composition with the device-resident path.  The
+    dataset is replicated across the mesh and the per-step index vector is
+    sharded over the data axis, so each device gathers + augments + forwards
+    only its local batch shard; explicit sharding constraints pin the batch
+    layout so GSPMD cannot fall back to a replicated gather.  Gradient and
+    BatchNorm reductions become ICI collectives automatically (params
+    replicated, batch sharded).
     """
     if device_data:
         device_augment = True
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _bsh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+
+        def _constrain(tree):
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, _bsh), tree
+            )
+    else:
+        _constrain = lambda tree: tree
     model_cfg, train_cfg, loss_cfg = config.model, config.train, config.train.loss
     # keep as a host-side numpy constant: it embeds into the lowered program
     # without a device->host read at trace time
@@ -125,7 +145,7 @@ def make_train_step(
             from hmd_ego_pose_tpu.data.device_dataset import gather_raw_batch
 
             data, idx = batch
-            batch = gather_raw_batch(data, idx)
+            batch = _constrain(gather_raw_batch(data, idx))
         if device_augment:
             from hmd_ego_pose_tpu.ops.augment_device import augment_and_preprocess_batch
 
@@ -139,6 +159,7 @@ def make_train_step(
                 use_6dof=dc.use_6dof_augmentation,
                 scale_range=dc.scale_6dof_augmentation,
             )
+            batch = _constrain(batch)
         grad_fn = jax.value_and_grad(_compute_losses, has_aux=True)
         (total, (bundle, new_bn)), grads = grad_fn(
             state.params, state.bn_state, batch, rng, model_points,
@@ -215,7 +236,7 @@ def make_train_step(
     return step
 
 
-def make_epoch_runner(config: Config, model_points):
+def make_epoch_runner(config: Config, model_points, mesh=None):
     """Whole-epoch training as ONE jitted program: lax.scan over the steps.
 
     Requires HBM-resident data (device_data mode).  The host dispatches one
@@ -223,8 +244,14 @@ def make_epoch_runner(config: Config, model_points):
     on relay-attached TPUs each dispatch costs 35-50 ms once any result has
     been fetched, so per-step dispatch would dominate the 7 ms step.
     Returns (state, mean-metrics-dict) with the means reduced on device.
+
+    Under a ``mesh`` the scan body is the data-parallel step: per-step
+    indices arrive sharded over the data axis (Trainer shards the (steps, B)
+    array as P(None, 'data')), the replicated dataset is gathered locally,
+    and XLA GSPMD inserts the gradient/BN collectives — one program per
+    epoch, all-ICI, no per-step host involvement.
     """
-    step = make_train_step(config, model_points, device_data=True)
+    step = make_train_step(config, model_points, device_data=True, mesh=mesh)
 
     def epoch(state, data, idxs, keys):
         def body(carry, xs):

@@ -52,24 +52,34 @@ class Trainer:
             params, bn_state = hmd_ego_pose.init(config.train.seed, config.model)
         model_points = train_dataset.model_points_for_loss(config.train.loss.num_model_points)
 
-        # HBM-resident dataset: upload once, gather batches by index on device
-        # (single-device only; under a mesh, per-host batches are shipped)
+        # HBM-resident dataset: upload once (replicated across the mesh when
+        # data-parallel), gather batches by index on device
         self._device_data = None
-        if config.data.device_resident and config.data.device_augment and mesh is None:
+        if config.data.device_resident and config.data.device_augment:
+            if mesh is not None and config.train.batch_size % mesh.shape[mesh.axis_names[0]]:
+                raise ValueError(
+                    f"batch_size {config.train.batch_size} not divisible by "
+                    f"data-axis size {mesh.shape[mesh.axis_names[0]]}"
+                )
             from hmd_ego_pose_tpu.data.device_dataset import build_device_data
 
             self._device_data = build_device_data(
-                train_dataset, budget_bytes=config.data.device_resident_budget_bytes
+                train_dataset,
+                budget_bytes=config.data.device_resident_budget_bytes,
+                mesh=mesh,
             )
 
         if self._device_data is not None:
-            # whole-epoch scan program: one device dispatch per epoch
-            self.epoch_runner = make_epoch_runner(config, model_points)
+            # whole-epoch scan program: one device dispatch per epoch; under
+            # a mesh this is the data-parallel step (indices sharded over the
+            # data axis, dataset replicated, grads psum'd by GSPMD)
+            self.epoch_runner = make_epoch_runner(config, model_points, mesh=mesh)
             self.step_fn = self.epoch_runner.step
         else:
             self.epoch_runner = None
             self.step_fn = make_train_step(
-                config, model_points, device_augment=config.data.device_augment
+                config, model_points, device_augment=config.data.device_augment,
+                mesh=mesh,
             )
         self.state = self.step_fn.init_state(params, bn_state)
         self.predict_fn = make_eval_forward(config)
@@ -119,9 +129,25 @@ class Trainer:
 
             idxs = self.pipeline.epoch_indices(self.config.train.oversample)
             n = idxs.shape[0]
+            if n == 0:
+                # scanning 0 steps would silently yield NaN metric means
+                raise ValueError(
+                    f"zero steps/epoch: batch_size {self.config.train.batch_size} "
+                    f"exceeds the {len(self.train_dataset)}-frame dataset "
+                    f"(x oversample {self.config.train.oversample})"
+                )
             keys = jax.random.split(rng_key, n)
+            idxs = jnp.asarray(idxs.astype(np.int32))
+            if self.mesh is not None:
+                # (steps, B): shard the batch dim so each device gathers its
+                # local shard of every step; keys are replicated
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                axis = self.mesh.axis_names[0]
+                idxs = jax.device_put(idxs, NamedSharding(self.mesh, P(None, axis)))
+                keys = jax.device_put(keys, NamedSharding(self.mesh, P()))
             self.state, means_dev = self.epoch_runner(
-                self.state, self._device_data, jnp.asarray(idxs.astype(np.int32)), keys
+                self.state, self._device_data, idxs, keys
             )
             # values stay DEVICE scalars: fit() floats them only at eval
             # epochs (the first fetch permanently degrades a relay session)
@@ -185,13 +211,15 @@ class Trainer:
                     ep, {"lr": new_lr, **{k: float(v) for k, v in m.items()}}
                 )
             train_metrics = {k: float(v) for k, v in pending[-1][1].items()}
+            n_since_eval = len(pending)
             pending = []
 
             result = self.validate(max_images=max_eval_images)
 
-            # plateau scheduler on the mixed point-distance mean (train.py:273)
+            # plateau scheduler on the mixed point-distance mean (train.py:273);
+            # patience counts EPOCHS, so an amortized eval burns eval_every
             metric = result.mixed_point_distance_mean_mm
-            new_lr = self.scheduler.step(metric)
+            new_lr = self.scheduler.step(metric, n_epochs=max(1, n_since_eval))
             self.state = set_learning_rate(self.state, self.config.train, new_lr)
 
             self.logger.log_scalars(epoch, {f"val/{k}": v for k, v in result.scalars().items()})
