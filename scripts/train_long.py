@@ -60,9 +60,15 @@ def run_shift(args):
 
     params = bn_state = None
     last = os.path.join(ckpt_dir, "last.npz")
+    sidecar = os.path.join(args.workdir, "epochs_done.json")
+    epochs_done = 0
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            epochs_done = json.load(f)["epochs_done"]
     if os.path.exists(last):
         params, bn_state, meta = restore_checkpoint(last)
-        print(f"[shift] restored {last} (epoch {meta.get('epoch')})")
+        print(f"[shift] restored {last} (epoch {meta.get('epoch')}, "
+              f"cumulative {epochs_done})")
     elif args.torch_init:
         # exercise the torch-checkpoint init path: build the reference
         # architecture in torch, convert its state_dict, train from it
@@ -70,17 +76,44 @@ def run_shift(args):
         print("[shift] initialized from a converted torch state_dict")
 
     results = {}
+    target = args.target_epochs if args.target_epochs > 0 else epochs_done + args.shift_epochs
+
+    if epochs_done >= target:
+        # a killed-after-checkpoint retry: last.npz already reflects the
+        # target epoch, so retraining would silently double the epochs
+        # (mis-attributing metrics to the LR schedule).  Eval only.
+        from hmd_ego_pose_tpu.eval.evaluator import evaluate_model
+
+        print(f"[shift] epochs_done={epochs_done} >= target={target}; eval only")
+        predict_fn = __import__(
+            "hmd_ego_pose_tpu.train.step", fromlist=["make_eval_forward"]
+        ).make_eval_forward(cfg)
+        result = evaluate_model(val_ds, predict_fn, params, bn_state, cfg)
+        results.update(train={}, eval=result.scalars(), skipped_training=True,
+                       shift_seconds=0.0, epochs_done=epochs_done)
+        results["steps_per_epoch"] = int(
+            len(train_ds) * cfg.train.oversample // cfg.train.batch_size
+        )
+        with open(os.path.join(args.workdir, "shift_result.json"), "w") as f:
+            json.dump(results, f)
+        return
 
     def on_epoch(epoch, train_metrics, eval_result):
         results["train"] = train_metrics
         results["eval"] = eval_result.scalars()
+        # cumulative-epoch sidecar, written right after Trainer saved
+        # last.npz: a timeout-kill between checkpoint and sidecar has a
+        # milliseconds window instead of the whole eval+exit tail
+        results["epochs_done"] = epochs_done + epoch + 1
+        with open(sidecar, "w") as f:
+            json.dump({"epochs_done": results["epochs_done"]}, f)
 
     trainer = Trainer(
         cfg, train_ds, val_ds, params=params, bn_state=bn_state,
         logger=MetricLogger(log_dir=os.path.join(args.workdir, "runs")),
     )
     t0 = time.time()
-    trainer.fit(on_epoch_end=on_epoch)
+    trainer.fit(epochs=target - epochs_done, on_epoch_end=on_epoch)
     results["shift_seconds"] = time.time() - t0
     results["steps_per_epoch"] = int(
         len(train_ds) * cfg.train.oversample // cfg.train.batch_size
@@ -123,6 +156,14 @@ def main():
     ap.add_argument("--num-frames", type=int, default=500)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--min-lr", type=float, default=1e-5)
+    ap.add_argument("--schedule", choices=["cosine", "plateau"], default="cosine",
+                    help="cosine: per-shift cosine decay over total-epochs "
+                         "(deterministic, resumable; round-2's plateau never "
+                         "fired because patience was denominated in shifts). "
+                         "plateau: epoch-denominated ReduceLROnPlateau.")
+    ap.add_argument("--target-epochs", type=int, default=0,
+                    help="internal: cumulative epoch target for one shift")
     ap.add_argument("--torch-init", action="store_true")
     ap.add_argument("--shift-timeout", type=float, default=3600.0,
                     help="kill + retry a shift after this many seconds "
@@ -149,15 +190,22 @@ def main():
 
     from hmd_ego_pose_tpu.train.plateau import ReduceLROnPlateau
 
-    sched = ReduceLROnPlateau(args.lr, factor=0.5, patience=2, min_lr=1e-6)
+    sched = ReduceLROnPlateau(args.lr, factor=0.5, patience=15, min_lr=args.min_lr)
+
+    def cosine_lr(epochs_done: int) -> float:
+        # half-cosine from lr to min-lr over the whole run, stepped per shift
+        t = min(1.0, epochs_done / max(1, args.total_epochs))
+        return args.min_lr + 0.5 * (args.lr - args.min_lr) * (1.0 + np.cos(np.pi * t))
+
     history_path = os.path.join(args.workdir, "history.jsonl")
-    lr = args.lr
+    lr = args.lr if args.schedule == "plateau" else cosine_lr(args.start_shift * args.shift_epochs)
     shifts = (args.total_epochs + args.shift_epochs - 1) // args.shift_epochs
     for shift in range(args.start_shift, shifts):
         cmd = [
             sys.executable, os.path.abspath(__file__), "--_shift",
             "--workdir", args.workdir,
             "--shift-epochs", str(args.shift_epochs),
+            "--target-epochs", str((shift + 1) * args.shift_epochs),
             "--batch-size", str(args.batch_size),
             "--lr", str(lr),
         ]
@@ -184,7 +232,9 @@ def main():
         with open(os.path.join(args.workdir, "shift_result.json")) as f:
             res = json.load(f)
         res["shift"] = shift
-        res["epochs_done"] = (shift + 1) * args.shift_epochs
+        # actual cumulative epochs from the child's sidecar (a retried shift
+        # must not mis-attribute extra epochs to this LR step)
+        res.setdefault("epochs_done", (shift + 1) * args.shift_epochs)
         res["steps_done"] = res["epochs_done"] * res["steps_per_epoch"]
         res["lr"] = lr
         res["wall_seconds"] = time.time() - t0
@@ -197,7 +247,12 @@ def main():
             f"r_err={ev['rotation_error_mean_deg']:.1f}deg "
             f"ADD={ev['add_accuracy']:.3f} ({res['wall_seconds']:.0f}s)"
         )
-        lr = sched.step(ev["mixed_point_distance_mean_mm"])
+        if args.schedule == "plateau":
+            # patience is denominated in EPOCHS (train/plateau.py); one
+            # shift-level eval burns shift_epochs of it
+            lr = sched.step(ev["mixed_point_distance_mean_mm"], n_epochs=args.shift_epochs)
+        else:
+            lr = cosine_lr(res["epochs_done"])
     print(f"[wrapper] done; history at {history_path}")
 
 
