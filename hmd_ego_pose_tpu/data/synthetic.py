@@ -137,6 +137,20 @@ def generate_synthetic_colibri(
         hand_center = trans / 1000.0 + rng.normal(scale=0.02, size=3)
         hand = hand_center + rng.normal(scale=0.03, size=(21, 3))
 
+        # RENDER the hand into the frame: the per-frame random joint offsets
+        # above are otherwise invisible in pixels, which puts an irreducible
+        # ~58 mm floor under val MPJPE (E||N(0, (20^2+30^2) mm^2 I3)|| —
+        # round 2's "hand-pose stall" was exactly this floor, not a model
+        # bug).  Each joint gets a distinct color so the regressor can
+        # identify joints, mirroring how real hands expose per-joint
+        # appearance.  Drawn over the drill, but NOT into the object mask.
+        hand_uv, hand_z = _project(hand * 1000.0, np.eye(3), np.zeros(3), cam_k)
+        jidx = np.arange(21)
+        hand_colors = np.stack(
+            [190 + 3 * jidx, 120 + 6 * jidx, 40 + 9 * jidx], axis=1
+        ).astype(np.uint8)
+        _splat(image, np.zeros((h, w), np.uint8), hand_uv, hand_z, hand_colors, radius=2)
+
         imwrite(os.path.join(obj_dir, "rgb", f"{frame:06d}.png"), image)
         imwrite(os.path.join(obj_dir, "mask", f"{frame:06d}.png"), mask)
         np.save(os.path.join(obj_dir, "hands", f"{frame:06d}_coords_3d.npy"), hand)

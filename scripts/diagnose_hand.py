@@ -84,8 +84,8 @@ def experiment_label_floor(root):
     return float(np.mean(errs))
 
 
-def experiment_overfit(root, epochs):
-    """10 frames, no augmentation: hand loss and eval-on-train MPJPE must
+def experiment_overfit(root, epochs, oversample=20):
+    """~7 frames, no augmentation: hand loss and eval-on-train MPJPE must
     fall TOGETHER now that hands are rendered."""
     import jax
 
@@ -95,14 +95,14 @@ def experiment_overfit(root, epochs):
     from hmd_ego_pose_tpu.utils.logging import MetricLogger
 
     cfg = Config(
-        model=ModelConfig(phi=0, image_size=128),
+        model=ModelConfig(phi=0, image_size=128, compute_dtype="bfloat16"),
         train=TrainConfig(batch_size=5, learning_rate=5e-4, epochs=epochs,
-                          oversample=1, freeze_backbone=False,
+                          oversample=oversample, freeze_backbone=False,
                           eval_every=max(1, epochs // 4),
                           checkpoint_dir=os.path.join(root, "_ckpt")),
         data=DataConfig(use_6dof_augmentation=False,
                         use_colorspace_augmentation=False, num_workers=1),
-        eval=EvalConfig(score_threshold=0.1, eval_batch_size=5),
+        eval=EvalConfig(score_threshold=0.05, eval_batch_size=5),
     )
     train_ds = ColibriDataset(root, fold=0, partition="train")
     # eval on the SAME frames we train on: pure plumbing-consistency check
@@ -129,10 +129,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--only", choices=["gt", "floor", "overfit"], default=None)
+    ap.add_argument("--backend", choices=["cpu", "default"], default="cpu",
+                    help="default = whatever jax.default_backend() is (TPU "
+                         "under axon); the overfit is ~100x faster there")
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from hmd_ego_pose_tpu.data.synthetic import generate_synthetic_colibri
 
@@ -141,12 +146,13 @@ def main():
     if not os.path.isdir(root):
         generate_synthetic_colibri(root, num_frames=13, image_size=(256, 256))
 
-    mpjpe_gt = experiment_gt_through_decode(root)
-    floor = experiment_label_floor(root)
-    hist = experiment_overfit(root, args.epochs)
-
-    out = {"gt_through_decode_mpjpe_mm": mpjpe_gt,
-           "label_floor_mm": floor, "overfit": hist}
+    out = {}
+    if args.only in (None, "gt"):
+        out["gt_through_decode_mpjpe_mm"] = experiment_gt_through_decode(root)
+    if args.only in (None, "floor"):
+        out["label_floor_mm"] = experiment_label_floor(root)
+    if args.only in (None, "overfit"):
+        out["overfit"] = experiment_overfit(root, args.epochs)
     path = os.path.join(workdir, "hand_diagnosis.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
