@@ -63,6 +63,39 @@ def test_dataset_reader(train_dataset):
     assert 0 <= u <= 480 and 0 <= v <= 480
 
 
+def test_hand_joints_rendered_into_pixels(train_dataset):
+    """Round-3 hand-fix regression: hand labels must be pixel-grounded.
+
+    Round 2's synthetic generator sampled per-frame random hand offsets but
+    never drew them, putting an analytic ~58 mm floor under val MPJPE (the
+    "hand-pose stall", TRAIN_SYNTHETIC.md).  Pin the fix: each in-frame
+    joint's projected pixel must carry that joint's identifying color
+    (data/synthetic.py renders joints far-to-near, so a center pixel can
+    only differ when a nearer joint's splat overlaps it).
+    """
+    ds = train_dataset
+    jidx = np.arange(21)
+    hand_colors = np.stack(
+        [190 + 3 * jidx, 120 + 6 * jidx, 40 + 9 * jidx], axis=1
+    ).astype(np.uint8)
+    exact = total = 0
+    for i in range(len(ds)):
+        img = ds.load_image(i)
+        cam_k = ds.infos[i]
+        hand_mm = ds.load_annotations(i)["coords_3d"][0] * 1000.0  # meters -> mm
+        z = hand_mm[:, 2]
+        u = np.rint(cam_k[0, 0] * hand_mm[:, 0] / z + cam_k[0, 2]).astype(int)
+        v = np.rint(cam_k[1, 1] * hand_mm[:, 1] / z + cam_k[1, 2]).astype(int)
+        h, w = img.shape[:2]
+        for j in range(21):
+            if not (0 <= u[j] < w and 0 <= v[j] < h):
+                continue
+            total += 1
+            exact += int((img[v[j], u[j]] == hand_colors[j]).all())
+    assert total >= 50  # nearly all joints of 7+ train frames are in-frame
+    assert exact / total > 0.7, f"only {exact}/{total} joints carry their color"
+
+
 def test_subsample_model_points_reference_rule():
     pts = np.arange(3000, dtype=np.float64).reshape(1000, 3)
     out = subsample_model_points(pts, 500)
