@@ -63,6 +63,12 @@ def _splat(image, mask, uv, z, colors, radius=3):
             mask[y0:y1, x0:x1] = 255
 
 
+# Metric arm length per mm of hand-joint z offset from the drill plane (see
+# the depth-grounding comment in generate_synthetic_colibri).  At f=480 and
+# z~550 mm, a 100 mm offset renders as a ~10 px arm.
+_ARM_MM_PER_MM_OFFSET = 0.12
+
+
 def generate_synthetic_colibri(
     root: str,
     num_frames: int = 20,
@@ -144,11 +150,36 @@ def generate_synthetic_colibri(
         # bug).  Each joint gets a distinct color so the regressor can
         # identify joints, mirroring how real hands expose per-joint
         # appearance.  Drawn over the drill, but NOT into the object mask.
-        hand_uv, hand_z = _project(hand * 1000.0, np.eye(3), np.zeros(3), cam_k)
+        #
+        # Depth grounding: a dot alone fixes the joint's (u, v) ray but NOT
+        # its z — the per-joint z offsets (sigma ~= 36 mm combined) would
+        # stay pixel-invisible and leave an analytic ~29 mm MPJPE floor
+        # (E|N(0, 36mm)| = 28.7).  Each joint therefore also gets a 3D arm
+        # segment whose METRIC length is proportional to its z offset from
+        # the drill: along camera +x when the joint is in front of the drill
+        # plane, along camera +y when behind.  Because the arm is defined in
+        # 3D and projected, its on-screen length transforms consistently
+        # under the 6-DoF zoom/rotate augmentations (unlike a brightness or
+        # fixed-pixel-size code), and z is recoverable as
+        # drill_z + sign * |arm| / MM_PER_MM_OFFSET.
+        hand_pts_mm = hand * 1000.0
+        z_off_mm = hand_pts_mm[:, 2] - trans[2]
+        arm_pts, arm_colors = [], []
         jidx = np.arange(21)
         hand_colors = np.stack(
             [190 + 3 * jidx, 120 + 6 * jidx, 40 + 9 * jidx], axis=1
         ).astype(np.uint8)
+        for j in range(21):
+            length_mm = abs(z_off_mm[j]) * _ARM_MM_PER_MM_OFFSET
+            axis = np.array([1.0, 0.0, 0.0]) if z_off_mm[j] >= 0 else np.array([0.0, 1.0, 0.0])
+            ts = np.linspace(0.0, 1.0, 14)[:, None]
+            arm_pts.append(hand_pts_mm[j] + ts * axis * length_mm)
+            arm_colors.append(np.repeat(hand_colors[j : j + 1], 14, axis=0))
+        arm_pts = np.concatenate(arm_pts, axis=0)
+        arm_colors = np.concatenate(arm_colors, axis=0)
+        arm_uv, arm_z = _project(arm_pts, np.eye(3), np.zeros(3), cam_k)
+        _splat(image, np.zeros((h, w), np.uint8), arm_uv, arm_z, arm_colors, radius=0)
+        hand_uv, hand_z = _project(hand_pts_mm, np.eye(3), np.zeros(3), cam_k)
         _splat(image, np.zeros((h, w), np.uint8), hand_uv, hand_z, hand_colors, radius=2)
 
         imwrite(os.path.join(obj_dir, "rgb", f"{frame:06d}.png"), image)

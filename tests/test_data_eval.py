@@ -96,6 +96,57 @@ def test_hand_joints_rendered_into_pixels(train_dataset):
     assert exact / total > 0.7, f"only {exact}/{total} joints carry their color"
 
 
+def test_hand_depth_encoded_in_arm_length(train_dataset):
+    """Hand z offsets must be pixel-recoverable, not just (u, v).
+
+    A dot fixes a joint's camera ray but not its depth, leaving an analytic
+    ~29 mm MPJPE floor from the invisible per-joint z offsets.  The generator
+    therefore draws a 3D arm per joint (metric length 0.12 mm per mm of
+    z offset from the drill plane; +x when in front, +y when behind) — so the
+    projected arm extent f * 0.12 * |z_off| / z must match what we measure in
+    the written pixels.
+    """
+    ds = train_dataset
+    jidx = np.arange(21)
+    hand_colors = np.stack(
+        [190 + 3 * jidx, 120 + 6 * jidx, 40 + 9 * jidx], axis=1
+    ).astype(np.uint8)
+    ok = total = 0
+    for i in range(len(ds)):
+        img = ds.load_image(i)
+        cam_k = ds.infos[i]
+        anno = ds.load_annotations(i)
+        hand_mm = anno["coords_3d"][0] * 1000.0
+        drill_z = anno["translations"][0, 2]
+        z = hand_mm[:, 2]
+        f = cam_k[0, 0]
+        u = np.rint(f * hand_mm[:, 0] / z + cam_k[0, 2]).astype(int)
+        v = np.rint(cam_k[1, 1] * hand_mm[:, 1] / z + cam_k[1, 2]).astype(int)
+        h, w = img.shape[:2]
+        for j in range(21):
+            z_off = z[j] - drill_z
+            expected_px = f * 0.12 * abs(z_off) / z[j]
+            if not (0 <= u[j] < w - 40 and 0 <= v[j] < h - 40):
+                continue
+            if expected_px < 3.0:
+                continue
+            total += 1
+            # measure the farthest same-colored pixel along the arm axis
+            # (a 3-wide strip tolerates rounding; nearer joints' splats may
+            # occlude, hence the majority vote below)
+            extent = 0
+            for d in range(1, 40):
+                if z_off >= 0:
+                    strip = img[max(0, v[j] - 1) : v[j] + 2, u[j] + d]
+                else:
+                    strip = img[v[j] + d, max(0, u[j] - 1) : u[j] + 2]
+                if (strip == hand_colors[j]).all(axis=-1).any():
+                    extent = d
+            ok += int(abs(extent - expected_px) <= max(2.5, 0.3 * expected_px))
+    assert total >= 20, f"too few measurable arms ({total})"
+    assert ok / total > 0.6, f"arm length matched for only {ok}/{total} joints"
+
+
 def test_subsample_model_points_reference_rule():
     pts = np.arange(3000, dtype=np.float64).reshape(1000, 3)
     out = subsample_model_points(pts, 500)
