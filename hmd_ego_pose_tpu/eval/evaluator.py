@@ -335,7 +335,15 @@ def evaluate_model(
                         acc.model_points, r_gt, t_gt, r_pred, t_pred, cam_k,
                         ecfg.pixel_threshold,
                     )
-                    hand_err = M.hand_mpjpe_mm(anno["coords_3d"][ja], hands[d])
+                    # The train pipeline scales coords_3d by image_scale
+                    # (colibri_common.py:617), so hand predictions live in
+                    # image_scale-scaled meters; the reference's eval
+                    # generator applies the SAME scaling to its GT, making
+                    # the comparison consistently scaled (a no-op when the
+                    # dataset is already at model resolution, scale == 1).
+                    # Without this the metric silently mixes spaces whenever
+                    # image_size != dataset resolution.
+                    hand_err = M.hand_mpjpe_mm(anno["coords_3d"][ja] * scale, hands[d])
 
                     if save_path is not None:
                         import os
@@ -352,13 +360,13 @@ def evaluate_model(
                             pred_pose=(rotations[d], t_pred),
                             gt_box=gt_boxes[j],
                             pred_box=boxes[d],
-                            hand_3d=hands[d],
+                            hand_3d=hands[d] / max(scale, 1e-8),
                         )
                         imwrite(os.path.join(save_path, f"det_{i:06d}.png"), overlay)
                         draw_samplevis(
                             raw, cam_k,
                             gt_hand=anno["coords_3d"][ja],
-                            pred_hand=hands[d].reshape(21, 3),
+                            pred_hand=hands[d].reshape(21, 3) / max(scale, 1e-8),
                             gt_points=transform_points(acc.model_points[::10], r_gt, t_gt),
                             pred_points=transform_points(acc.model_points[::10], r_pred, t_pred),
                             save_path=os.path.join(save_path, f"samplevis_{i:06d}.png"),

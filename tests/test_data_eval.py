@@ -333,7 +333,10 @@ class _OracleDetector:
             labels[row, 0] = 0
             rot[row, 0] = anno["rotations"][0, :3] / math.pi
             trans[row, 0] = anno["translations"][0]
-            hand[row, 0] = anno["coords_3d"][0].reshape(-1)
+            # a perfect network outputs hands in the TRAINING-target space,
+            # which is image_scale-scaled meters (colibri_common.py:617);
+            # the evaluator compares in that space (reference semantics)
+            hand[row, 0] = anno["coords_3d"][0].reshape(-1) * scale
             num_valid[row] = 1
         self.cursor += b
         return Detections(
