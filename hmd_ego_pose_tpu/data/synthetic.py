@@ -156,12 +156,13 @@ def generate_synthetic_colibri(
         # stay pixel-invisible and leave an analytic ~29 mm MPJPE floor
         # (E|N(0, 36mm)| = 28.7).  Each joint therefore also gets a 3D arm
         # segment whose METRIC length is proportional to its z offset from
-        # the drill: along camera +x when the joint is in front of the drill
-        # plane, along camera +y when behind.  Because the arm is defined in
-        # 3D and projected, its on-screen length transforms consistently
-        # under the 6-DoF zoom/rotate augmentations (unlike a brightness or
-        # fixed-pixel-size code), and z is recoverable as
-        # drill_z + sign * |arm| / MM_PER_MM_OFFSET.
+        # the drill: along camera +x when the joint is FARTHER than the
+        # drill plane (z_off >= 0), along camera +y when NEARER.  Because
+        # the arm is defined in 3D and projected, its on-screen length
+        # transforms consistently under the 6-DoF zoom/rotate augmentations
+        # (unlike a brightness or fixed-pixel-size code), and z is
+        # recoverable as drill_z + sign * |arm| / MM_PER_MM_OFFSET with
+        # sign = +1 for an +x (rightward) arm, -1 for a +y (downward) arm.
         hand_pts_mm = hand * 1000.0
         z_off_mm = hand_pts_mm[:, 2] - trans[2]
         arm_pts, arm_colors = [], []

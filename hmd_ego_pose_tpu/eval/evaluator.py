@@ -337,12 +337,14 @@ def evaluate_model(
                     )
                     # The train pipeline scales coords_3d by image_scale
                     # (colibri_common.py:617), so hand predictions live in
-                    # image_scale-scaled meters; the reference's eval
-                    # generator applies the SAME scaling to its GT, making
-                    # the comparison consistently scaled (a no-op when the
-                    # dataset is already at model resolution, scale == 1).
-                    # Without this the metric silently mixes spaces whenever
-                    # image_size != dataset resolution.
+                    # image_scale-scaled meters.  DELIBERATE deviation from
+                    # the reference here: its eval compares those scaled
+                    # predictions against RAW GT (eval/common.py:631-643) —
+                    # a space mix that is invisible in its published runs
+                    # (native-resolution data, scale == 1) but reads ~2x the
+                    # coordinate norm at scale 0.5.  We compare consistently
+                    # in the training-target space, which equals the
+                    # reference bit-for-bit whenever scale == 1.
                     hand_err = M.hand_mpjpe_mm(anno["coords_3d"][ja] * scale, hands[d])
 
                     if save_path is not None:

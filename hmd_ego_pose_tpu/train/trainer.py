@@ -52,15 +52,20 @@ class Trainer:
             params, bn_state = hmd_ego_pose.init(config.train.seed, config.model)
         model_points = train_dataset.model_points_for_loss(config.train.loss.num_model_points)
 
+        # a mesh shards batches over the data axis on EVERY training path
+        # (device-resident epoch runner or host pipeline), so check
+        # divisibility up front — the host path would otherwise die later
+        # inside GSPMD with an opaque dimension error
+        if mesh is not None and config.train.batch_size % mesh.shape[mesh.axis_names[0]]:
+            raise ValueError(
+                f"batch_size {config.train.batch_size} not divisible by "
+                f"data-axis size {mesh.shape[mesh.axis_names[0]]}"
+            )
+
         # HBM-resident dataset: upload once (replicated across the mesh when
         # data-parallel), gather batches by index on device
         self._device_data = None
         if config.data.device_resident and config.data.device_augment:
-            if mesh is not None and config.train.batch_size % mesh.shape[mesh.axis_names[0]]:
-                raise ValueError(
-                    f"batch_size {config.train.batch_size} not divisible by "
-                    f"data-axis size {mesh.shape[mesh.axis_names[0]]}"
-                )
             from hmd_ego_pose_tpu.data.device_dataset import build_device_data
 
             self._device_data = build_device_data(

@@ -8,8 +8,11 @@ plus sustained throughput.  Run on the real chip:
 
 NOTE (relay): the engine's resolver thread fetches every result, so the
 session is in sync mode from the first frame — all numbers are honest
-end-to-end times, directly comparable with round-2's engine stats
-(BENCH_NOTES.md serving section).
+end-to-end times.  ``total`` stats are comparable with round-2's engine
+stats; the per-stage ``execute`` stat measures dispatch-complete ->
+device-ready, which under double buffering includes waiting behind the
+previous batch, so compare it with round 2's upload->ready split only at
+concurrency 1.
 """
 
 import argparse

@@ -102,9 +102,9 @@ def test_hand_depth_encoded_in_arm_length(train_dataset):
     A dot fixes a joint's camera ray but not its depth, leaving an analytic
     ~29 mm MPJPE floor from the invisible per-joint z offsets.  The generator
     therefore draws a 3D arm per joint (metric length 0.12 mm per mm of
-    z offset from the drill plane; +x when in front, +y when behind) — so the
-    projected arm extent f * 0.12 * |z_off| / z must match what we measure in
-    the written pixels.
+    z offset from the drill plane; +x when farther than the drill plane,
+    +y when nearer) — so the projected arm extent f * 0.12 * |z_off| / z
+    must match what we measure in the written pixels.
     """
     ds = train_dataset
     jidx = np.arange(21)

@@ -194,6 +194,33 @@ def test_engine_single_and_batched(small_engine):
     assert stats["total"]["count"] >= 8
 
 
+def test_engine_stop_resolves_all_inflight_futures():
+    """Shutdown-race regression: stop() racing a batch that the dispatcher
+    has packed but not yet handed to the resolver must not abandon its
+    futures.  The resolver exits only on the dispatcher's sentinel (or
+    dispatcher death), so every submitted future resolves."""
+    cfg = ModelConfig(phi=0, image_size=128)
+    params, state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
+    engine = InferenceEngine(
+        params, state, cfg,
+        ServingConfig(max_batch_size=2, score_threshold=0.0),
+        frame_shape=(96, 96),
+    ).start()
+    rng = np.random.RandomState(3)
+    frame = rng.randint(0, 255, size=(96, 96, 3)).astype(np.uint8)
+    engine.infer_blocking(frame)  # warm compile so stop() races real work
+    futures = [engine.submit(frame) for _ in range(9)]
+    engine.stop()
+    resolved = 0
+    for f in futures:
+        try:
+            f.result(timeout=60)
+            resolved += 1
+        except Exception:
+            resolved += 1  # an exception is a resolution, not a hang
+    assert resolved == len(futures)
+
+
 def test_engine_on_8_device_mesh():
     """Multi-chip DP serving: frames shard over the data axis."""
     if len(jax.devices()) < 8:
