@@ -68,6 +68,71 @@ def _splat(image, mask, uv, z, colors, radius=3):
 # z~550 mm, a 100 mm offset renders as a ~10 px arm.
 _ARM_MM_PER_MM_OFFSET = 0.12
 
+# --- kinematic hand model (MediaPipe 21-joint convention) -------------------
+#
+# Round-3 finding (TRAIN_SYNTHETIC.md run C): joints rendered as isolated dots
+# whose identity was encoded ONLY in subtle per-joint colors (adjacent joints
+# differed by 3-9 uint8 steps) are unlearnable under the training-time
+# RandAugment color stack — posterize/solarize/contrast destroy a fine-grained
+# color code, and the hand loss stayed flat at the predict-the-center level
+# while the same data overfit fine WITHOUT augmentation.  Real hands expose
+# joint identity STRUCTURALLY (a wrist-rooted kinematic chain), which no color
+# op can erase.  The generator therefore renders an articulated skeleton:
+# fixed-topology bones + per-FINGER hues separated by >150 uint8 steps (with a
+# coarse within-finger brightness ramp), so identity survives any monotone or
+# even permuting color distortion via connectivity, and depth stays grounded
+# through the projective bone scale plus the explicit z-offset arms.
+#
+# Canonical pose in mm, wrist at the origin, fingers along +y, palm in the
+# xy-plane; joint order: wrist, thumb(4), index(4), middle(4), ring(4),
+# pinky(4) — matching the 21x3 hands/*_coords_3d.npy layout the reference
+# consumes (pytorch-sandbox/generators/colibri.py hand annotations).
+HAND_CANONICAL_MM = np.array(
+    [
+        [0.0, 0.0, 0.0],                                              # wrist
+        [-28, 18, 8], [-44, 36, 12], [-54, 50, 14], [-62, 62, 16],    # thumb
+        [-22, 70, 0], [-24, 98, 2], [-25, 117, 3], [-26, 130, 4],     # index
+        [0, 73, 0], [0, 103, 2], [0, 124, 3], [0, 139, 4],            # middle
+        [20, 69, 0], [22, 96, 2], [23, 115, 3], [24, 128, 4],         # ring
+        [38, 62, 0], [42, 82, 1], [44, 96, 2], [46, 107, 3],          # pinky
+    ],
+    dtype=np.float64,
+)
+
+# wrist-rooted bone topology (parent, child)
+HAND_BONES = tuple(
+    (0 if k == 0 else 4 * f + k, 4 * f + k + 1)
+    for f in range(5)
+    for k in range(4)
+)
+
+# overall canonical-hand scale: keeps the rotated hand mostly inside a
+# 256 px frame at z in [400, 700] with f=480 (span ~90 mm after scaling)
+_HAND_SCALE = 0.6
+
+# per-joint articulation jitter (mm): rendered AND labeled, so it is signal
+_HAND_JITTER_MM = 8.0
+
+
+def hand_joint_colors() -> np.ndarray:
+    """(21, 3) uint8 colors: per-finger hues, within-finger brightness ramp."""
+    base = np.array(
+        [
+            [235, 235, 235],  # wrist
+            [235, 45, 45],    # thumb
+            [45, 235, 45],    # index
+            [70, 70, 235],    # middle
+            [235, 235, 45],   # ring
+            [235, 45, 235],   # pinky
+        ],
+        dtype=np.float64,
+    )
+    colors = [base[0]]
+    for f in range(5):
+        for k in range(4):
+            colors.append(base[f + 1] * (0.55 + 0.15 * k))
+    return np.clip(np.rint(np.array(colors)), 0, 255).astype(np.uint8)
+
 
 def generate_synthetic_colibri(
     root: str,
@@ -137,39 +202,66 @@ def generate_synthetic_colibri(
         uv, z = _project(model_points, rot_mat, trans, cam_k)
         _splat(image, mask, uv, z, point_colors)
 
-        # synthetic hand: 21 joints hovering near the object, in METERS —
-        # the real dataset's hands/*.npy are meters (the reference converts
-        # MPJPE to mm by multiplying by 1000, eval/common.py:975-981)
-        hand_center = trans / 1000.0 + rng.normal(scale=0.02, size=3)
-        hand = hand_center + rng.normal(scale=0.03, size=(21, 3))
+        # synthetic hand: a 21-joint ARTICULATED skeleton near the object, in
+        # METERS — the real dataset's hands/*.npy are meters (the reference
+        # converts MPJPE to mm by multiplying by 1000, eval/common.py:975-981).
+        # The canonical hand gets a uniform random 3D rotation (the dominant,
+        # structurally readable variance source) plus per-joint jitter that is
+        # rendered AND labeled (fine-grained signal).
+        # lateral offset keeps most of the thin skeleton over the background
+        # instead of lost inside the drill's own colored-splat texture
+        ang = rng.uniform(0.0, 2 * np.pi)
+        hand_center_mm = (
+            trans
+            + rng.uniform(40.0, 70.0) * np.array([np.cos(ang), np.sin(ang), 0.0])
+            + rng.normal(scale=10.0, size=3)
+        )
+        hand_rotvec = rng.normal(size=3)
+        hand_rotvec = hand_rotvec / np.linalg.norm(hand_rotvec) * rng.uniform(0.0, np.pi)
+        hand_rot = np_axis_angle_to_matrix(hand_rotvec)
+        canonical = (HAND_CANONICAL_MM - HAND_CANONICAL_MM.mean(axis=0)) * _HAND_SCALE
+        hand_pts_mm = (
+            hand_center_mm
+            + canonical @ hand_rot.T
+            + rng.normal(scale=_HAND_JITTER_MM, size=(21, 3))
+        )
+        hand = hand_pts_mm / 1000.0
 
-        # RENDER the hand into the frame: the per-frame random joint offsets
-        # above are otherwise invisible in pixels, which puts an irreducible
-        # ~58 mm floor under val MPJPE (E||N(0, (20^2+30^2) mm^2 I3)|| —
-        # round 2's "hand-pose stall" was exactly this floor, not a model
-        # bug).  Each joint gets a distinct color so the regressor can
-        # identify joints, mirroring how real hands expose per-joint
-        # appearance.  Drawn over the drill, but NOT into the object mask.
+        # RENDER the hand into the frame (drawn over the drill, but NOT into
+        # the object mask): joint identity must be recoverable STRUCTURALLY
+        # (bones of a fixed wrist-rooted topology + widely separated
+        # per-finger hues), because training applies the reference's full
+        # RandAugment color stack — a fine-grained per-joint color code does
+        # not survive posterize/solarize/contrast (run C's flat hand loss,
+        # TRAIN_SYNTHETIC.md).  Bones are drawn first (dimmed), then the
+        # depth arms, then the joints on top.
         #
         # Depth grounding: a dot alone fixes the joint's (u, v) ray but NOT
-        # its z — the per-joint z offsets (sigma ~= 36 mm combined) would
-        # stay pixel-invisible and leave an analytic ~29 mm MPJPE floor
-        # (E|N(0, 36mm)| = 28.7).  Each joint therefore also gets a 3D arm
-        # segment whose METRIC length is proportional to its z offset from
-        # the drill: along camera +x when the joint is FARTHER than the
-        # drill plane (z_off >= 0), along camera +y when NEARER.  Because
-        # the arm is defined in 3D and projected, its on-screen length
-        # transforms consistently under the 6-DoF zoom/rotate augmentations
-        # (unlike a brightness or fixed-pixel-size code), and z is
-        # recoverable as drill_z + sign * |arm| / MM_PER_MM_OFFSET with
-        # sign = +1 for an +x (rightward) arm, -1 for a +y (downward) arm.
-        hand_pts_mm = hand * 1000.0
+        # its z — unrecovered z jitter would leave an analytic MPJPE floor.
+        # Each joint therefore also gets a 3D arm segment whose METRIC
+        # length is proportional to its z offset from the drill: along
+        # camera +x when the joint is FARTHER than the drill plane
+        # (z_off >= 0), along camera +y when NEARER.  Because the arm is
+        # defined in 3D and projected, its on-screen length transforms
+        # consistently under the 6-DoF zoom/rotate augmentations (unlike a
+        # brightness or fixed-pixel-size code), and z is recoverable as
+        # drill_z + sign * |arm| / MM_PER_MM_OFFSET with sign = +1 for an
+        # +x (rightward) arm, -1 for a +y (downward) arm.  Fixed metric
+        # bone lengths additionally encode depth via projective scale.
+        hand_colors = hand_joint_colors()
+        bone_pts, bone_colors = [], []
+        for parent, child in HAND_BONES:
+            ts = np.linspace(0.0, 1.0, 24)[:, None]
+            bone_pts.append(hand_pts_mm[parent] + ts * (hand_pts_mm[child] - hand_pts_mm[parent]))
+            dim = np.clip(np.rint(hand_colors[child].astype(np.float64) * 0.45), 0, 255)
+            bone_colors.append(np.repeat(dim[None, :].astype(np.uint8), 24, axis=0))
+        bone_pts = np.concatenate(bone_pts, axis=0)
+        bone_colors = np.concatenate(bone_colors, axis=0)
+        bone_uv, bone_z = _project(bone_pts, np.eye(3), np.zeros(3), cam_k)
+        _splat(image, np.zeros((h, w), np.uint8), bone_uv, bone_z, bone_colors, radius=1)
+
         z_off_mm = hand_pts_mm[:, 2] - trans[2]
         arm_pts, arm_colors = [], []
-        jidx = np.arange(21)
-        hand_colors = np.stack(
-            [190 + 3 * jidx, 120 + 6 * jidx, 40 + 9 * jidx], axis=1
-        ).astype(np.uint8)
         for j in range(21):
             length_mm = abs(z_off_mm[j]) * _ARM_MM_PER_MM_OFFSET
             axis = np.array([1.0, 0.0, 0.0]) if z_off_mm[j] >= 0 else np.array([0.0, 1.0, 0.0])

@@ -73,11 +73,10 @@ def test_hand_joints_rendered_into_pixels(train_dataset):
     (data/synthetic.py renders joints far-to-near, so a center pixel can
     only differ when a nearer joint's splat overlaps it).
     """
+    from hmd_ego_pose_tpu.data.synthetic import hand_joint_colors
+
     ds = train_dataset
-    jidx = np.arange(21)
-    hand_colors = np.stack(
-        [190 + 3 * jidx, 120 + 6 * jidx, 40 + 9 * jidx], axis=1
-    ).astype(np.uint8)
+    hand_colors = hand_joint_colors()
     exact = total = 0
     for i in range(len(ds)):
         img = ds.load_image(i)
@@ -100,17 +99,16 @@ def test_hand_depth_encoded_in_arm_length(train_dataset):
     """Hand z offsets must be pixel-recoverable, not just (u, v).
 
     A dot fixes a joint's camera ray but not its depth, leaving an analytic
-    ~29 mm MPJPE floor from the invisible per-joint z offsets.  The generator
-    therefore draws a 3D arm per joint (metric length 0.12 mm per mm of
-    z offset from the drill plane; +x when farther than the drill plane,
-    +y when nearer) — so the projected arm extent f * 0.12 * |z_off| / z
-    must match what we measure in the written pixels.
+    MPJPE floor from invisible per-joint z offsets.  The generator therefore
+    draws a 3D arm per joint (metric length 0.12 mm per mm of z offset from
+    the drill plane; +x when farther than the drill plane, +y when nearer) —
+    so the projected arm extent f * 0.12 * |z_off| / z must match what we
+    measure in the written pixels.
     """
+    from hmd_ego_pose_tpu.data.synthetic import hand_joint_colors
+
     ds = train_dataset
-    jidx = np.arange(21)
-    hand_colors = np.stack(
-        [190 + 3 * jidx, 120 + 6 * jidx, 40 + 9 * jidx], axis=1
-    ).astype(np.uint8)
+    hand_colors = hand_joint_colors()
     ok = total = 0
     for i in range(len(ds)):
         img = ds.load_image(i)
@@ -145,6 +143,64 @@ def test_hand_depth_encoded_in_arm_length(train_dataset):
             ok += int(abs(extent - expected_px) <= max(2.5, 0.3 * expected_px))
     assert total >= 20, f"too few measurable arms ({total})"
     assert ok / total > 0.6, f"arm length matched for only {ok}/{total} joints"
+
+
+def test_hand_skeleton_structurally_identifiable(train_dataset):
+    """Joint identity must survive color augmentation -> it must be STRUCTURAL.
+
+    Run C (TRAIN_SYNTHETIC.md): dot-only hands whose identity lived in a
+    3-9-uint8-step color code trained flat under the RandAugment color stack.
+    The generator now renders a wrist-rooted kinematic skeleton: (a) bone
+    midpoints must carry the dimmed child-joint color (topology is drawn),
+    and (b) per-finger hues must be widely separated so even coarse color
+    quantization keeps fingers distinct.
+    """
+    from hmd_ego_pose_tpu.data.synthetic import (
+        HAND_BONES,
+        HAND_CANONICAL_MM,
+        hand_joint_colors,
+    )
+
+    colors = hand_joint_colors().astype(np.int32)
+    # (b) fingers pairwise-distinguishable even after heavy quantization:
+    # base hues of different fingers differ by >150 in L1
+    finger_joint = [1 + 4 * f + 3 for f in range(5)]  # fingertip = full hue
+    for a in range(5):
+        for b in range(a + 1, 5):
+            d = np.abs(colors[finger_joint[a]] - colors[finger_joint[b]]).sum()
+            assert d > 150, f"fingers {a},{b} colors too close (L1={d})"
+
+    assert len(HAND_BONES) == 20 and HAND_CANONICAL_MM.shape == (21, 3)
+    # every bone chains back to the wrist
+    parents = {c: p for p, c in HAND_BONES}
+    for j in range(1, 21):
+        hops, node = 0, j
+        while node != 0:
+            node = parents[node]
+            hops += 1
+            assert hops <= 4
+    # (a) bone midpoints carry the dimmed child color in the pixels
+    ds = train_dataset
+    dimmed = np.clip(np.rint(hand_joint_colors().astype(np.float64) * 0.45), 0, 255).astype(np.uint8)
+    hit = total = 0
+    for i in range(len(ds)):
+        img = ds.load_image(i)
+        cam_k = ds.infos[i]
+        hand_mm = ds.load_annotations(i)["coords_3d"][0] * 1000.0
+        h, w = img.shape[:2]
+        for parent, child in HAND_BONES:
+            mid = 0.5 * (hand_mm[parent] + hand_mm[child])
+            u = int(round(cam_k[0, 0] * mid[0] / mid[2] + cam_k[0, 2]))
+            v = int(round(cam_k[1, 1] * mid[1] / mid[2] + cam_k[1, 2]))
+            if not (1 <= u < w - 1 and 1 <= v < h - 1):
+                continue
+            total += 1
+            patch = img[v - 1 : v + 2, u - 1 : u + 2].reshape(-1, 3)
+            hit += int((patch == dimmed[child]).all(axis=-1).any())
+    assert total >= 100
+    # bones can be occluded by the drill/joints/arms drawn later, so demand
+    # a solid majority rather than unanimity
+    assert hit / total > 0.6, f"bone midpoints rendered for only {hit}/{total}"
 
 
 def test_subsample_model_points_reference_rule():
