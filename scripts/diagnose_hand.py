@@ -84,9 +84,15 @@ def experiment_label_floor(root):
     return float(np.mean(errs))
 
 
-def experiment_overfit(root, epochs, oversample=20):
-    """~7 frames, no augmentation: hand loss and eval-on-train MPJPE must
-    fall TOGETHER now that hands are rendered."""
+def experiment_overfit(root, epochs, oversample=20, augment=False, image_size=128):
+    """~7 frames: hand loss and eval-on-train MPJPE must fall TOGETHER now
+    that hands are rendered.
+
+    With ``augment=True`` this becomes the augmentation-robustness probe
+    that run C motivated (TRAIN_SYNTHETIC.md): under the full RandAugment
+    color stack the model cannot memorize frame appearance, so eval-on-train
+    MPJPE only falls if joint identity/depth is recoverable from structure
+    that survives the color ops."""
     import jax
 
     from hmd_ego_pose_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
@@ -95,13 +101,13 @@ def experiment_overfit(root, epochs, oversample=20):
     from hmd_ego_pose_tpu.utils.logging import MetricLogger
 
     cfg = Config(
-        model=ModelConfig(phi=0, image_size=128, compute_dtype="bfloat16"),
+        model=ModelConfig(phi=0, image_size=image_size, compute_dtype="bfloat16"),
         train=TrainConfig(batch_size=5, learning_rate=5e-4, epochs=epochs,
                           oversample=oversample, freeze_backbone=False,
                           eval_every=max(1, epochs // 4),
                           checkpoint_dir=os.path.join(root, "_ckpt")),
-        data=DataConfig(use_6dof_augmentation=False,
-                        use_colorspace_augmentation=False, num_workers=1),
+        data=DataConfig(use_6dof_augmentation=augment,
+                        use_colorspace_augmentation=augment, num_workers=1),
         eval=EvalConfig(score_threshold=0.05, eval_batch_size=5),
     )
     train_ds = ColibriDataset(root, fold=0, partition="train")
@@ -130,6 +136,13 @@ def main():
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--only", choices=["gt", "floor", "overfit"], default=None)
+    ap.add_argument("--augment", action="store_true",
+                    help="overfit WITH the full 6-DoF + RandAugment stack "
+                         "(structure-robustness probe, not a memorization one)")
+    ap.add_argument("--frames", type=int, default=13)
+    ap.add_argument("--image-size", type=int, default=128,
+                    help="model input size for the overfit experiment")
+    ap.add_argument("--oversample", type=int, default=20)
     ap.add_argument("--backend", choices=["cpu", "default"], default="cpu",
                     help="default = whatever jax.default_backend() is (TPU "
                          "under axon); the overfit is ~100x faster there")
@@ -144,7 +157,7 @@ def main():
     workdir = args.workdir or tempfile.mkdtemp(prefix="hand_diag_")
     root = os.path.join(workdir, "data")
     if not os.path.isdir(root):
-        generate_synthetic_colibri(root, num_frames=13, image_size=(256, 256))
+        generate_synthetic_colibri(root, num_frames=args.frames, image_size=(256, 256))
 
     out = {}
     if args.only in (None, "gt"):
@@ -152,7 +165,10 @@ def main():
     if args.only in (None, "floor"):
         out["label_floor_mm"] = experiment_label_floor(root)
     if args.only in (None, "overfit"):
-        out["overfit"] = experiment_overfit(root, args.epochs)
+        out["overfit"] = experiment_overfit(
+            root, args.epochs, oversample=args.oversample,
+            augment=args.augment, image_size=args.image_size,
+        )
     path = os.path.join(workdir, "hand_diagnosis.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
