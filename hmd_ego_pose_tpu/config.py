@@ -202,6 +202,12 @@ class TrainConfig:
     # runs set this high and amortize the eval cost across pure-compute
     # epochs that never fetch.
     eval_every: int = 1
+    # Longest lax.scan the epoch runner may dispatch as one program.  The
+    # relay-attached TPU worker crashes on single executions that scan too
+    # many steps (375 dies deterministically, 187 is proven stable); longer
+    # epochs run as several chunked dispatches of the same compiled program
+    # (train/step.py plan_epoch_chunks).  <= 0 disables chunking.
+    max_steps_per_dispatch: int = 160
     freeze_backbone: bool = True
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     checkpoint_dir: str = "train_weights"

@@ -236,6 +236,32 @@ def make_train_step(
     return step
 
 
+def plan_epoch_chunks(n_steps: int, max_chunk: int) -> list:
+    """Split an epoch of ``n_steps`` into scan chunks of at most ``max_chunk``.
+
+    Relay-attached TPU workers crash ("TPU worker process crashed or
+    restarted") when a single dispatched program scans too many train steps
+    — measured: 375-step epoch programs die deterministically, 187-step
+    programs are stable over multi-hour runs.  Long epochs are therefore
+    dispatched as several scan chunks of the same program.
+
+    Prefers an equal split (one compiled program per run) by looking for a
+    divisor-based chunk count; falls back to a near-equal split (at most two
+    distinct chunk lengths -> at most two compiles) when ``n_steps`` has no
+    usable divisor.  ``max_chunk <= 0`` disables chunking.
+    """
+    if max_chunk <= 0 or n_steps <= max_chunk:
+        return [n_steps]
+    k = -(-n_steps // max_chunk)  # ceil
+    # smallest chunk count >= k that divides n_steps evenly; bound the search
+    # so chunks never shrink below ~max_chunk/4 (dispatch overhead stays nil)
+    for kk in range(k, 4 * k + 1):
+        if n_steps % kk == 0:
+            return [n_steps // kk] * kk
+    base, rem = divmod(n_steps, k)
+    return [base + 1] * rem + [base] * (k - rem)
+
+
 def make_epoch_runner(config: Config, model_points, mesh=None):
     """Whole-epoch training as ONE jitted program: lax.scan over the steps.
 
@@ -244,6 +270,8 @@ def make_epoch_runner(config: Config, model_points, mesh=None):
     on relay-attached TPUs each dispatch costs 35-50 ms once any result has
     been fetched, so per-step dispatch would dominate the 7 ms step.
     Returns (state, mean-metrics-dict) with the means reduced on device.
+    Epochs longer than ``train.max_steps_per_dispatch`` are dispatched as
+    several chunks of this program by the Trainer (see plan_epoch_chunks).
 
     Under a ``mesh`` the scan body is the data-parallel step: per-step
     indices arrive sharded over the data axis (Trainer shards the (steps, B)

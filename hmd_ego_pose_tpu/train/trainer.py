@@ -143,20 +143,48 @@ class Trainer:
                 )
             keys = jax.random.split(rng_key, n)
             idxs = jnp.asarray(idxs.astype(np.int32))
+
+            idx_sharding = key_sharding = None
             if self.mesh is not None:
                 # (steps, B): shard the batch dim so each device gathers its
                 # local shard of every step; keys are replicated
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 axis = self.mesh.axis_names[0]
-                idxs = jax.device_put(idxs, NamedSharding(self.mesh, P(None, axis)))
-                keys = jax.device_put(keys, NamedSharding(self.mesh, P()))
-            self.state, means_dev = self.epoch_runner(
-                self.state, self._device_data, idxs, keys
-            )
+                idx_sharding = NamedSharding(self.mesh, P(None, axis))
+                key_sharding = NamedSharding(self.mesh, P())
+
+            # epochs longer than max_steps_per_dispatch run as several scan
+            # chunks — a single over-long program crashes the relay-attached
+            # worker (see plan_epoch_chunks).  Per-step keys/indices are the
+            # SAME arrays merely sliced, so chunking is semantics-preserving.
+            from hmd_ego_pose_tpu.train.step import plan_epoch_chunks
+
+            chunks = plan_epoch_chunks(n, self.config.train.max_steps_per_dispatch)
+            chunk_means = []
+            start = 0
+            for size in chunks:
+                ci = idxs[start : start + size]
+                ck = keys[start : start + size]
+                if idx_sharding is not None:
+                    ci = jax.device_put(ci, idx_sharding)
+                    ck = jax.device_put(ck, key_sharding)
+                self.state, m = self.epoch_runner(
+                    self.state, self._device_data, ci, ck
+                )
+                chunk_means.append(m)
+                start += size
+            if len(chunk_means) == 1:
+                means = dict(chunk_means[0])
+            else:
+                # exact epoch mean: chunk means weighted by chunk length
+                # (device-scalar arithmetic — no host fetch)
+                means = {
+                    k: sum(m[k] * (s / n) for m, s in zip(chunk_means, chunks))
+                    for k in chunk_means[0]
+                }
             # values stay DEVICE scalars: fit() floats them only at eval
             # epochs (the first fetch permanently degrades a relay session)
-            means = dict(means_dev)
             means["epoch_seconds"] = time.time() - t0
             means["steps"] = n
             return means

@@ -154,6 +154,64 @@ def test_trainer_mesh_device_resident_epoch_runner(synthetic_root_16, tmp_path, 
     assert int(trainer.state.step) == metrics["steps"]
 
 
+def test_plan_epoch_chunks():
+    from hmd_ego_pose_tpu.train.step import plan_epoch_chunks
+
+    # short epochs stay a single dispatch; <=0 disables chunking
+    assert plan_epoch_chunks(120, 160) == [120]
+    assert plan_epoch_chunks(160, 160) == [160]
+    assert plan_epoch_chunks(375, 0) == [375]
+    # 187 = 11*17 has no divisor in the bounded search window -> near-equal
+    assert plan_epoch_chunks(187, 160) == [94, 93]
+    # run D's crashing shape: 375 steps -> equal 125-step chunks (ONE program)
+    assert plan_epoch_chunks(375, 160) == [125, 125, 125]
+    # prime step counts fall back to a near-equal split: sums to n, every
+    # chunk within the cap, at most two distinct lengths (two compiles max)
+    for n in (373, 521, 997):
+        chunks = plan_epoch_chunks(n, 160)
+        assert sum(chunks) == n
+        assert max(chunks) <= 160
+        assert len(set(chunks)) <= 2
+
+
+def test_chunked_epoch_matches_unchunked(synthetic_root, tmp_path, monkeypatch):
+    """Chunked epoch dispatch is semantics-preserving: same per-step keys and
+    indices, so params and epoch-mean metrics must match the single-program
+    path (the relay crashes on over-long scans; see plan_epoch_chunks)."""
+    import jax.numpy as jnp
+
+    def make(ckpt, max_chunk):
+        cfg = Config(
+            model=ModelConfig(phi=0, image_size=128),
+            train=TrainConfig(batch_size=2, learning_rate=1e-4, epochs=1,
+                              oversample=1, freeze_backbone=False,
+                              checkpoint_dir=str(tmp_path / ckpt),
+                              max_steps_per_dispatch=max_chunk),
+            data=DataConfig(num_workers=1),  # device augment + resident ON
+        )
+        train_ds = ColibriDataset(synthetic_root, fold=0, partition="train")
+        val_ds = ColibriDataset(synthetic_root, fold=0, partition="val")
+        return Trainer(cfg, train_ds, val_ds, logger=MetricLogger(stdout=False))
+
+    t_whole = make("ck_a", 0)   # one program for the whole epoch
+    t_chunk = make("ck_b", 1)   # one dispatch per step
+    assert t_whole.epoch_runner is not None and t_chunk.epoch_runner is not None
+
+    m_whole = t_whole.train_epoch(0, jax.random.PRNGKey(7))
+    m_chunk = t_chunk.train_epoch(0, jax.random.PRNGKey(7))
+    assert m_whole["steps"] == m_chunk["steps"] >= 2
+
+    for k in ("loss", "classification_loss", "hand_loss"):
+        np.testing.assert_allclose(
+            float(m_whole[k]), float(m_chunk[k]), rtol=1e-5,
+            err_msg=f"epoch-mean {k} diverged under chunking",
+        )
+    for a, b in zip(jax.tree.leaves(t_whole.state.params),
+                    jax.tree.leaves(t_chunk.state.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), rtol=1e-5, atol=1e-7)
+
+
 def test_trainer_mesh_rejects_indivisible_batch(synthetic_root, tmp_path):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
