@@ -131,7 +131,10 @@ def test_trainer_mesh_device_resident_epoch_runner(synthetic_root_16, tmp_path, 
     )
     cfg = Config(
         model=ModelConfig(phi=0, image_size=128),
-        train=TrainConfig(batch_size=8, learning_rate=1e-4, epochs=1, oversample=1,
+        # oversample 4 -> a 4-step epoch; max_steps_per_dispatch 2 exercises
+        # CHUNKED dispatch under the mesh (slice + device_put per chunk)
+        train=TrainConfig(batch_size=8, learning_rate=1e-4, epochs=1, oversample=4,
+                          max_steps_per_dispatch=2,
                           freeze_backbone=False, checkpoint_dir=str(tmp_path / "ckpt")),
         data=DataConfig(num_workers=1),  # device augment + resident stay ON
     )
