@@ -36,46 +36,53 @@ from hmd_ego_pose_tpu.models import hmd_ego_pose
 from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
 
 GOLDEN_DIR = os.path.dirname(os.path.abspath(__file__))
-CKPT = os.path.join(REPO, "trained", "syn500_phi0_160ep_int8.npz")
+CKPT = os.path.join(REPO, "trained", "syn500_phi0_320ep_int8.npz")
 
 
 def main():
     # same generator settings as the training run (scripts/train_long.py):
-    # 256px frames, seed 0 — but only 5 frames; we pin the first VAL frame
+    # 256px frames, seed 0.  ALL val frames of a 30-frame set are committed
+    # and pinned — a single frame proved brittle: per-frame difficulty moves
+    # when the generator's rendering evolves between training runs (e.g. the
+    # round-3 skeleton hands occlude the drill differently than the dot
+    # hands the 320ep checkpoint was trained on), so goodness-vs-GT is
+    # asserted on the MEDIAN over frames, while restore/predict numerics
+    # drift is still caught per-frame at tight tolerances.
     with tempfile.TemporaryDirectory() as tmp:
-        root = generate_synthetic_colibri(tmp, num_frames=5, image_size=(256, 256))
+        root = generate_synthetic_colibri(tmp, num_frames=30, image_size=(256, 256))
         ds = ColibriDataset(root, fold=0, partition="val")
-        frame = ds.load_image(0)
-        cam = ds.load_camera_matrix(0)
-        anno = ds.load_annotations(0)
-
-    imwrite(os.path.join(GOLDEN_DIR, "trained_ckpt_frame.png"), frame)
+        frames = [ds.load_image(i) for i in range(len(ds))]
+        cams = [ds.load_camera_matrix(i) for i in range(len(ds))]
+        annos = [ds.load_annotations(i) for i in range(len(ds))]
 
     cfg = Config(model=ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16"))
     params, bn_state, meta = restore_checkpoint(CKPT)
-
-    image, scale = preprocess_image(frame, cfg.model.image_size)
-    cam6 = np.asarray(
-        [[cam[0, 0], cam[1, 1], cam[0, 2], cam[1, 2], 1000.0, scale]], np.float32
-    )
     predict = hmd_ego_pose.make_predict_fn(cfg.model, score_threshold=0.1)
-    det = predict(params, bn_state, image[None], cam6)
 
-    top = int(np.argmax(np.asarray(det.scores[0])))
-    out = {
-        "camera": cam6,
-        "score": np.asarray(det.scores[0][top]),
-        "box": np.asarray(det.boxes[0][top]) / scale,
-        "rotation": np.asarray(det.rotation[0][top]) * np.pi,
-        "translation": np.asarray(det.translation[0][top]),
-        "hand": np.asarray(det.hand[0][top]),
-        "gt_box": anno["bboxes"][0],
-        "gt_rotation": anno["rotations"][0, :3],
-        "gt_translation": anno["translations"][0],
-    }
+    out = {"n_frames": np.asarray(len(frames))}
+    t_errs = []
+    for i, (frame, cam, anno) in enumerate(zip(frames, cams, annos)):
+        imwrite(os.path.join(GOLDEN_DIR, f"trained_ckpt_frame_{i}.png"), frame)
+        image, scale = preprocess_image(frame, cfg.model.image_size)
+        cam6 = np.asarray(
+            [[cam[0, 0], cam[1, 1], cam[0, 2], cam[1, 2], 1000.0, scale]], np.float32
+        )
+        det = predict(params, bn_state, image[None], cam6)
+        top = int(np.argmax(np.asarray(det.scores[0])))
+        out.update({
+            f"camera_{i}": cam6,
+            f"score_{i}": np.asarray(det.scores[0][top]),
+            f"box_{i}": np.asarray(det.boxes[0][top]) / scale,
+            f"rotation_{i}": np.asarray(det.rotation[0][top]) * np.pi,
+            f"translation_{i}": np.asarray(det.translation[0][top]),
+            f"hand_{i}": np.asarray(det.hand[0][top]),
+            f"gt_translation_{i}": anno["translations"][0],
+        })
+        t_errs.append(float(np.linalg.norm(
+            out[f"translation_{i}"] - anno["translations"][0])))
     np.savez(os.path.join(GOLDEN_DIR, "trained_ckpt_expected.npz"), **out)
-    print(json.dumps({k: np.asarray(v).tolist() for k, v in out.items()
-                      if k in ("score", "box", "rotation", "translation")}, indent=1))
+    print(json.dumps({"t_err_per_frame": [round(e, 1) for e in t_errs],
+                      "t_err_median": round(float(np.median(t_errs)), 1)}, indent=1))
     print("ckpt meta epoch:", meta.get("epoch"), "metric:", meta.get("metric"))
 
 
