@@ -20,8 +20,46 @@ import time
 
 import numpy as np
 
+# The TPU relay can die (observed: stdin-EOF exit of the tunnel process,
+# 2026-08-17) and the PJRT plugin then retries connecting forever — a hang
+# here would leave the driver with NO bench artifact at all.  The measurement
+# runs in a daemon thread (SIGALRM cannot interrupt a main thread blocked
+# inside the PJRT C++ connect loop); the main thread enforces the deadline
+# and emits an honest error line instead of hanging.
+BENCH_TIMEOUT_S = 1500
+
 
 def main():
+    import threading
+
+    done = threading.Event()
+    err = []
+
+    def run():
+        try:
+            _bench()
+        except BaseException as e:  # noqa: BLE001 — reported as the JSON error line
+            err.append(f"{type(e).__name__}: {e}")
+        finally:
+            done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    if not done.wait(BENCH_TIMEOUT_S) or err:
+        print(json.dumps({
+            "metric": "single_frame_p50_latency_256px_phi0",
+            "value": None,
+            "unit": "ms",
+            "vs_baseline": None,
+            "error": err[0] if err else
+            f"bench exceeded {BENCH_TIMEOUT_S}s (TPU relay unreachable or wedged)",
+        }), flush=True)
+        import os
+
+        os._exit(1)
+
+
+def _bench():
     import jax
 
     # NOTE: do NOT enable the persistent compilation cache here — on the
