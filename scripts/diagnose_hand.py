@@ -84,7 +84,8 @@ def experiment_label_floor(root):
     return float(np.mean(errs))
 
 
-def experiment_overfit(root, epochs, oversample=20, augment=False, image_size=128):
+def experiment_overfit(root, epochs, oversample=20, augment=False, image_size=128,
+                       hand_weight=1.0):
     """~7 frames: hand loss and eval-on-train MPJPE must fall TOGETHER now
     that hands are rendered.
 
@@ -100,11 +101,14 @@ def experiment_overfit(root, epochs, oversample=20, augment=False, image_size=12
     from hmd_ego_pose_tpu.train.trainer import Trainer
     from hmd_ego_pose_tpu.utils.logging import MetricLogger
 
+    from hmd_ego_pose_tpu.config import LossConfig
+
     cfg = Config(
         model=ModelConfig(phi=0, image_size=image_size, compute_dtype="bfloat16"),
         train=TrainConfig(batch_size=5, learning_rate=5e-4, epochs=epochs,
                           oversample=oversample, freeze_backbone=False,
                           eval_every=max(1, epochs // 4),
+                          loss=LossConfig(hand_weight=hand_weight),
                           checkpoint_dir=os.path.join(root, "_ckpt")),
         data=DataConfig(use_6dof_augmentation=augment,
                         use_colorspace_augmentation=augment, num_workers=1),
@@ -143,6 +147,11 @@ def main():
     ap.add_argument("--image-size", type=int, default=128,
                     help="model input size for the overfit experiment")
     ap.add_argument("--oversample", type=int, default=20)
+    ap.add_argument("--hand-weight", type=float, default=1.0,
+                    help="hand-loss weight (reference default 1.0, train.py:67); "
+                         "probe lever: the hand branch contributes <1% of the "
+                         "total gradient at the run-C plateau, so shared "
+                         "backbone features may never serve the thin skeleton")
     ap.add_argument("--backend", choices=["cpu", "default"], default="cpu",
                     help="default = whatever jax.default_backend() is (TPU "
                          "under axon); the overfit is ~100x faster there")
@@ -168,6 +177,7 @@ def main():
         out["overfit"] = experiment_overfit(
             root, args.epochs, oversample=args.oversample,
             augment=args.augment, image_size=args.image_size,
+            hand_weight=args.hand_weight,
         )
     path = os.path.join(workdir, "hand_diagnosis.json")
     with open(path, "w") as f:

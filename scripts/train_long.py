@@ -33,7 +33,9 @@ import numpy as np
 
 def run_shift(args):
     """One training shift (runs in its own process)."""
-    from hmd_ego_pose_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
+    from hmd_ego_pose_tpu.config import (
+        Config, DataConfig, EvalConfig, LossConfig, ModelConfig, TrainConfig,
+    )
     from hmd_ego_pose_tpu.data.colibri import ColibriDataset
     from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
     from hmd_ego_pose_tpu.train.trainer import Trainer
@@ -50,6 +52,7 @@ def run_shift(args):
             freeze_backbone=False,
             checkpoint_dir=ckpt_dir,
             eval_every=args.shift_epochs,
+            loss=LossConfig(hand_weight=args.hand_weight),
         ),
         data=DataConfig(dataset="syn_colibri"),
         eval=EvalConfig(score_threshold=0.1),
@@ -165,6 +168,9 @@ def main():
     ap.add_argument("--target-epochs", type=int, default=0,
                     help="internal: cumulative epoch target for one shift")
     ap.add_argument("--torch-init", action="store_true")
+    ap.add_argument("--hand-weight", type=float, default=1.0,
+                    help="hand-loss weight (reference default 1.0, "
+                         "train.py:67); recipe lever for hand-learning runs")
     ap.add_argument("--shift-timeout", type=float, default=3600.0,
                     help="kill + retry a shift after this many seconds "
                          "(relay sessions can wedge on a lost RPC)")
@@ -208,6 +214,7 @@ def main():
             "--target-epochs", str((shift + 1) * args.shift_epochs),
             "--batch-size", str(args.batch_size),
             "--lr", str(lr),
+            "--hand-weight", str(args.hand_weight),
         ]
         if args.torch_init and shift == 0:
             cmd.append("--torch-init")
