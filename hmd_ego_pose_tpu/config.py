@@ -117,6 +117,11 @@ class ModelConfig:
     fusion_epsilon: float = 1e-4  # BiFPN fast-attention epsilon (efficientdet/model.py:72)
     # Compute dtype for the conv stack; params and BN stats stay float32.
     compute_dtype: str = "float32"
+    # Rematerialize MBConv blocks in the training backward pass
+    # (jax.checkpoint): the train step is HBM-bound, so recomputing the
+    # 6x-expanded block intermediates instead of saving them trades
+    # nearly-free FLOPs for bytes.  No effect on inference or numerics.
+    remat_backbone: bool = False
 
     def __post_init__(self):
         if not 0 <= self.phi <= 8:

@@ -197,12 +197,21 @@ def apply(
     drop_connect_rate: float = 0.2,
     bn_momentum: float = 0.01,
     bn_eps: float = 1e-3,
+    remat: bool = False,
 ):
     """NHWC image batch -> (P3, P4, P5) features and new BN state.
 
     Feature cut points are the last blocks of stages 3/5/7, equivalent to the
     reference's runtime stride-watching collection
     (efficientdet/model.py:436-458).
+
+    ``remat``: wrap each MBConv block in ``jax.checkpoint`` during training.
+    The train step is HBM-bandwidth-bound (BENCH_NOTES.md roofline: 3.4
+    FLOP/byte vs the v5e's 240 ridge), and the blocks' 6x-expanded
+    intermediates are most of the saved-activation traffic — recomputing
+    them in the backward pass from the (unexpanded) block inputs trades
+    nearly-free FLOPs for bytes.  Numerically identical outputs/grads
+    (pinned by tests/test_model.py).
     """
     specs = block_specs(coefficient)
     new_state: Dict[str, Any] = {}
@@ -219,10 +228,22 @@ def apply(
     rngs = jax.random.split(rng, n_blocks) if rng is not None else [None] * n_blocks
     for i, spec in enumerate(specs):
         rate = drop_connect_rate * i / n_blocks
-        x, s = _mbconv_apply(
-            params["blocks"][i], state["blocks"][i], x, spec, training, rate, rngs[i],
-            axis_name, bn_momentum, bn_eps,
-        )
+        block_fn = _mbconv_apply
+        if remat and training:
+            # bind the non-array args via defaults; (params, state, x, rng)
+            # stay traced so checkpoint saves only the block INPUTS
+            block_fn = jax.checkpoint(
+                lambda p, s, xx, key, _spec=spec, _rate=rate: _mbconv_apply(
+                    p, s, xx, _spec, training, _rate, key,
+                    axis_name, bn_momentum, bn_eps,
+                )
+            )
+            x, s = block_fn(params["blocks"][i], state["blocks"][i], x, rngs[i])
+        else:
+            x, s = block_fn(
+                params["blocks"][i], state["blocks"][i], x, spec, training, rate,
+                rngs[i], axis_name, bn_momentum, bn_eps,
+            )
         new_blocks.append(s)
         is_last_of_stage = i + 1 == n_blocks or specs[i + 1]["stage"] != spec["stage"]
         if is_last_of_stage and spec["stage"] in _FEATURE_STAGES:

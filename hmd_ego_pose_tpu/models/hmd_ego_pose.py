@@ -181,6 +181,7 @@ def apply(
         coefficient=config.backbone_coefficient,
         training=training, rng=rng, axis_name=axis_name,
         bn_momentum=config.bn_momentum, bn_eps=config.bn_epsilon,
+        remat=config.remat_backbone,
     )
     if capture is not None:
         capture["backbone.p3"], capture["backbone.p4"], capture["backbone.p5"] = feats

@@ -43,7 +43,8 @@ def run_shift(args):
 
     ckpt_dir = os.path.join(args.workdir, "ckpt")
     cfg = Config(
-        model=ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16"),
+        model=ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16",
+                          remat_backbone=args.remat),
         train=TrainConfig(
             batch_size=args.batch_size,
             learning_rate=args.lr,
@@ -168,6 +169,9 @@ def main():
     ap.add_argument("--target-epochs", type=int, default=0,
                     help="internal: cumulative epoch target for one shift")
     ap.add_argument("--torch-init", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the MBConv blocks (trade recompute "
+                         "for HBM bytes; the train step is memory-bound)")
     ap.add_argument("--hand-weight", type=float, default=1.0,
                     help="hand-loss weight (reference default 1.0, "
                          "train.py:67); recipe lever for hand-learning runs")
@@ -216,6 +220,8 @@ def main():
             "--lr", str(lr),
             "--hand-weight", str(args.hand_weight),
         ]
+        if args.remat:
+            cmd.append("--remat")
         if args.torch_init and shift == 0:
             cmd.append("--torch-init")
         print(f"[wrapper] shift {shift + 1}/{shifts} (lr={lr:.2e})")

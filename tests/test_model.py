@@ -167,3 +167,27 @@ def test_init_accepts_int_seed():
     p_key, s_key = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg)
     for a, b in zip(jax.tree.leaves((p_int, s_int)), jax.tree.leaves((p_key, s_key))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_backbone_same_outputs_and_grads():
+    """remat_backbone trades FLOPs for HBM bytes (memory-bound train step);
+    it must not change forward outputs or parameter gradients."""
+    cfg = small_config()
+    cfg_remat = dataclasses.replace(cfg, remat_backbone=True)
+    params, state = hmd_ego_pose.init(0, cfg)
+    images = jnp.asarray(
+        np.random.RandomState(0).normal(size=(1, 128, 128, 3)).astype(np.float32)
+    )
+    rng = jax.random.PRNGKey(3)
+
+    def loss(p, c):
+        out, _ = hmd_ego_pose.apply(p, state, images, c, training=True, rng=rng)
+        return sum(jnp.sum(jnp.abs(t.astype(jnp.float32))) for t in
+                   (out.classification, out.regression, out.rotation,
+                    out.translation_raw, out.hand))
+
+    v0, g0 = jax.value_and_grad(loss)(params, cfg)
+    v1, g1 = jax.value_and_grad(loss)(params, cfg_remat)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
