@@ -38,28 +38,38 @@ class DeviceData(NamedTuple):
     gt_valid: jax.Array  # (N, K) bool
 
 
+class HostCache(NamedTuple):
+    """The decoded dataset in host RAM (numpy), same layout as DeviceData.
+
+    Source for the windowed device-resident mode: datasets whose decoded
+    frames exceed the per-device HBM budget upload one frame WINDOW at a
+    time per epoch (shard-shuffle semantics) instead of falling back to the
+    per-step host pipeline."""
+
+    frames: np.ndarray
+    masks: np.ndarray
+    camera_fxfycxcy: np.ndarray
+    gt_boxes: np.ndarray
+    gt_rotations: np.ndarray
+    gt_is_sym: np.ndarray
+    gt_translations: np.ndarray
+    gt_coords_3d: np.ndarray
+    gt_labels: np.ndarray
+    gt_valid: np.ndarray
+
+    def bytes_per_frame(self) -> int:
+        n = self.frames.shape[0]
+        return sum(a.nbytes for a in self) // max(1, n)
+
+
 def estimate_bytes(dataset) -> int:
     probe = dataset.load_image(0)
     h, w = probe.shape[:2]
     return len(dataset) * (h * w * 3 + h * w)
 
 
-def build_device_data(
-    dataset, max_objects: int = 1, budget_bytes: int = 8 << 30, mesh=None
-) -> Optional[DeviceData]:
-    """Upload the dataset to the default device; None if over budget.
-
-    Under a ``mesh`` the arrays are REPLICATED across it (each device holds a
-    full copy, so ``budget_bytes`` is a per-device bound either way): batch
-    gathers then need no cross-device communication — per-step indices are
-    sharded over the data axis and each device gathers its shard locally.
-    Sharding the frames over devices instead would cut HBM per device by
-    world size but turn every gather into an all-gather over ICI; colibri
-    datasets (<= a few GB decoded) fit replicated on a 16 GB v5e.
-    """
-    if estimate_bytes(dataset) > budget_bytes:
-        return None
-
+def build_host_cache(dataset, max_objects: int = 1) -> HostCache:
+    """Decode the whole dataset into host-RAM arrays (DeviceData layout)."""
     n, k = len(dataset), max_objects
     probe = dataset.load_image(0)
     h, w = probe.shape[:2]
@@ -91,6 +101,22 @@ def build_device_data(
         labels[i, :num] = anno["labels"][:num]
         valid[i, :num] = True
 
+    return HostCache(frames, masks, cam4, boxes, rots, is_sym, trans,
+                     coords, labels, valid)
+
+
+def upload_window(cache: HostCache, rows: Optional[np.ndarray] = None,
+                  mesh=None) -> DeviceData:
+    """Upload (a row subset of) a host cache as device-resident arrays.
+
+    Under a ``mesh`` the arrays are REPLICATED across it (each device holds a
+    full copy, so the HBM budget is a per-device bound either way): batch
+    gathers then need no cross-device communication — per-step indices are
+    sharded over the data axis and each device gathers its shard locally.
+    Sharding the frames over devices instead would cut HBM per device by
+    world size but turn every gather into an all-gather over ICI; colibri
+    datasets (<= a few GB decoded) fit replicated on a 16 GB v5e.
+    """
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -98,18 +124,18 @@ def build_device_data(
         put = lambda a: jax.device_put(a, repl)
     else:
         put = jnp.asarray
-    return DeviceData(
-        frames=put(frames),
-        masks=put(masks),
-        camera_fxfycxcy=put(cam4),
-        gt_boxes=put(boxes),
-        gt_rotations=put(rots),
-        gt_is_sym=put(is_sym),
-        gt_translations=put(trans),
-        gt_coords_3d=put(coords),
-        gt_labels=put(labels),
-        gt_valid=put(valid),
-    )
+    sel = (lambda a: a) if rows is None else (lambda a: np.ascontiguousarray(a[rows]))
+    return DeviceData(*(put(sel(a)) for a in cache))
+
+
+def build_device_data(
+    dataset, max_objects: int = 1, budget_bytes: int = 8 << 30, mesh=None
+) -> Optional[DeviceData]:
+    """Upload the whole dataset to the default device; None if over budget
+    (the Trainer then uses the windowed mode via build_host_cache)."""
+    if estimate_bytes(dataset) > budget_bytes:
+        return None
+    return upload_window(build_host_cache(dataset, max_objects), None, mesh)
 
 
 def gather_raw_batch(data: DeviceData, idx) -> RawBatch:

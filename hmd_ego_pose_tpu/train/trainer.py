@@ -63,18 +63,32 @@ class Trainer:
             )
 
         # HBM-resident dataset: upload once (replicated across the mesh when
-        # data-parallel), gather batches by index on device
+        # data-parallel), gather batches by index on device.  Datasets whose
+        # decoded frames exceed the per-device budget stay TPU-native via
+        # WINDOWED residency: the host keeps the decoded cache and uploads
+        # one random frame window per epoch segment (shard-shuffle
+        # semantics — each step samples within the resident window; windows
+        # repartition every epoch), instead of falling back to the ~50 img/s
+        # per-step host pipeline.
         self._device_data = None
+        self._host_cache = None
+        self._window_frames = 0
         if config.data.device_resident and config.data.device_augment:
-            from hmd_ego_pose_tpu.data.device_dataset import build_device_data
-
-            self._device_data = build_device_data(
-                train_dataset,
-                budget_bytes=config.data.device_resident_budget_bytes,
-                mesh=mesh,
+            from hmd_ego_pose_tpu.data.device_dataset import (
+                build_host_cache, upload_window,
             )
 
-        if self._device_data is not None:
+            cache = build_host_cache(train_dataset)
+            budget = config.data.device_resident_budget_bytes
+            if sum(a.nbytes for a in cache) <= budget:
+                self._device_data = upload_window(cache, None, mesh)
+            else:
+                w = int(budget // max(1, cache.bytes_per_frame()))
+                if w >= config.train.batch_size:
+                    self._host_cache = cache
+                    self._window_frames = w
+
+        if self._device_data is not None or self._host_cache is not None:
             # whole-epoch scan program: one device dispatch per epoch; under
             # a mesh this is the data-parallel step (indices sharded over the
             # data axis, dataset replicated, grads psum'd by GSPMD)
@@ -126,63 +140,116 @@ class Trainer:
         for batch in self.pipeline.batches(oversample=self.config.train.oversample):
             yield self._put(batch)
 
+    @staticmethod
+    def _combine_means(means_list, weights):
+        """Exact weighted mean of per-segment metric means (device-scalar
+        arithmetic — no host fetch)."""
+        if len(means_list) == 1:
+            return dict(means_list[0])
+        total = sum(weights)
+        return {
+            k: sum(m[k] * (s / total) for m, s in zip(means_list, weights))
+            for k in means_list[0]
+        }
+
+    def _dispatch_scan(self, idxs_np, rng_key, device_data):
+        """Run (steps, B) index rows through the epoch runner against
+        ``device_data``, chunked to max_steps_per_dispatch — a single
+        over-long scan program crashes the relay-attached worker (see
+        plan_epoch_chunks).  Per-step keys/indices are the SAME arrays
+        merely sliced, so chunking is semantics-preserving.  Returns
+        (device-scalar metric means, steps)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from hmd_ego_pose_tpu.train.step import plan_epoch_chunks
+
+        n = idxs_np.shape[0]
+        keys = jax.random.split(rng_key, n)
+        idxs = jnp.asarray(idxs_np.astype(np.int32))
+
+        idx_sharding = key_sharding = None
+        if self.mesh is not None:
+            # (steps, B): shard the batch dim so each device gathers its
+            # local shard of every step; keys are replicated
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = self.mesh.axis_names[0]
+            idx_sharding = NamedSharding(self.mesh, P(None, axis))
+            key_sharding = NamedSharding(self.mesh, P())
+
+        chunks = plan_epoch_chunks(n, self.config.train.max_steps_per_dispatch)
+        chunk_means = []
+        start = 0
+        for size in chunks:
+            ci = idxs[start : start + size]
+            ck = keys[start : start + size]
+            if idx_sharding is not None:
+                ci = jax.device_put(ci, idx_sharding)
+                ck = jax.device_put(ck, key_sharding)
+            self.state, m = self.epoch_runner(self.state, device_data, ci, ck)
+            chunk_means.append(m)
+            start += size
+        return self._combine_means(chunk_means, chunks), n
+
+    def _windowed_epoch(self, rng_key):
+        """One epoch in windowed device-resident mode: repartition the frame
+        set randomly, then upload + scan one HBM-sized window at a time.
+        Each step samples within the resident window (shard-shuffle
+        semantics, the standard large-scale relaxation of global shuffling);
+        the per-step host pipeline remains the exact-global-shuffle
+        fallback.  Tail windows smaller than a batch are skipped this epoch
+        (they land in full windows after the next repartition)."""
+        import numpy as np
+
+        from hmd_ego_pose_tpu.data.device_dataset import upload_window
+
+        cfg = self.config.train
+        rng = self.pipeline.rng  # the same sampler stream as epoch_indices
+        n_frames = self._host_cache.frames.shape[0]
+        perm = rng.permutation(n_frames)
+        parts = [perm[i : i + self._window_frames]
+                 for i in range(0, n_frames, self._window_frames)]
+
+        win_means, win_steps = [], []
+        for rows in parts:
+            steps = (len(rows) * cfg.oversample) // cfg.batch_size
+            if steps == 0:
+                continue
+            idx = np.concatenate(
+                [rng.permutation(len(rows)) for _ in range(cfg.oversample)]
+            )[: steps * cfg.batch_size].reshape(steps, cfg.batch_size)
+            # free the previous window BEFORE uploading the next one so only
+            # one window is ever resident
+            self._device_data = None
+            self._device_data = upload_window(self._host_cache, rows, self.mesh)
+            rng_key, sub = jax.random.split(rng_key)
+            m, n = self._dispatch_scan(idx, sub, self._device_data)
+            win_means.append(m)
+            win_steps.append(n)
+        if not win_steps:
+            raise ValueError(
+                f"zero steps/epoch: batch_size {cfg.batch_size} exceeds every "
+                f"{self._window_frames}-frame window (x oversample "
+                f"{cfg.oversample})"
+            )
+        return self._combine_means(win_means, win_steps), sum(win_steps)
+
     def train_epoch(self, epoch: int, rng_key) -> Dict[str, float]:
         t0 = time.time()
         if self.epoch_runner is not None:
-            import jax.numpy as jnp
-            import numpy as np
-
-            idxs = self.pipeline.epoch_indices(self.config.train.oversample)
-            n = idxs.shape[0]
-            if n == 0:
-                # scanning 0 steps would silently yield NaN metric means
-                raise ValueError(
-                    f"zero steps/epoch: batch_size {self.config.train.batch_size} "
-                    f"exceeds the {len(self.train_dataset)}-frame dataset "
-                    f"(x oversample {self.config.train.oversample})"
-                )
-            keys = jax.random.split(rng_key, n)
-            idxs = jnp.asarray(idxs.astype(np.int32))
-
-            idx_sharding = key_sharding = None
-            if self.mesh is not None:
-                # (steps, B): shard the batch dim so each device gathers its
-                # local shard of every step; keys are replicated
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                axis = self.mesh.axis_names[0]
-                idx_sharding = NamedSharding(self.mesh, P(None, axis))
-                key_sharding = NamedSharding(self.mesh, P())
-
-            # epochs longer than max_steps_per_dispatch run as several scan
-            # chunks — a single over-long program crashes the relay-attached
-            # worker (see plan_epoch_chunks).  Per-step keys/indices are the
-            # SAME arrays merely sliced, so chunking is semantics-preserving.
-            from hmd_ego_pose_tpu.train.step import plan_epoch_chunks
-
-            chunks = plan_epoch_chunks(n, self.config.train.max_steps_per_dispatch)
-            chunk_means = []
-            start = 0
-            for size in chunks:
-                ci = idxs[start : start + size]
-                ck = keys[start : start + size]
-                if idx_sharding is not None:
-                    ci = jax.device_put(ci, idx_sharding)
-                    ck = jax.device_put(ck, key_sharding)
-                self.state, m = self.epoch_runner(
-                    self.state, self._device_data, ci, ck
-                )
-                chunk_means.append(m)
-                start += size
-            if len(chunk_means) == 1:
-                means = dict(chunk_means[0])
+            if self._host_cache is not None:
+                means, n = self._windowed_epoch(rng_key)
             else:
-                # exact epoch mean: chunk means weighted by chunk length
-                # (device-scalar arithmetic — no host fetch)
-                means = {
-                    k: sum(m[k] * (s / n) for m, s in zip(chunk_means, chunks))
-                    for k in chunk_means[0]
-                }
+                idxs = self.pipeline.epoch_indices(self.config.train.oversample)
+                if idxs.shape[0] == 0:
+                    # scanning 0 steps would silently yield NaN metric means
+                    raise ValueError(
+                        f"zero steps/epoch: batch_size {self.config.train.batch_size} "
+                        f"exceeds the {len(self.train_dataset)}-frame dataset "
+                        f"(x oversample {self.config.train.oversample})"
+                    )
+                means, n = self._dispatch_scan(idxs, rng_key, self._device_data)
             # values stay DEVICE scalars: fit() floats them only at eval
             # epochs (the first fetch permanently degrades a relay session)
             means["epoch_seconds"] = time.time() - t0

@@ -215,6 +215,60 @@ def test_chunked_epoch_matches_unchunked(synthetic_root, tmp_path, monkeypatch):
                                    np.asarray(b, np.float32), rtol=1e-5, atol=1e-7)
 
 
+def test_windowed_device_resident_epoch(synthetic_root, tmp_path):
+    """Datasets over the HBM budget stay TPU-native: the trainer keeps a host
+    cache and uploads one random frame window per epoch segment instead of
+    falling back to the per-step host pipeline."""
+    train_ds = ColibriDataset(synthetic_root, fold=0, partition="train")
+    val_ds = ColibriDataset(synthetic_root, fold=0, partition="val")
+
+    # budget sized for a 2-frame window (256^2 rgb+mask ~262KB/frame)
+    from hmd_ego_pose_tpu.data.device_dataset import build_host_cache
+
+    per_frame = build_host_cache(train_ds).bytes_per_frame()
+    cfg = Config(
+        model=ModelConfig(phi=0, image_size=128),
+        train=TrainConfig(batch_size=2, learning_rate=1e-4, epochs=1,
+                          oversample=2, freeze_backbone=False,
+                          checkpoint_dir=str(tmp_path / "ckpt")),
+        data=DataConfig(num_workers=1,
+                        device_resident_budget_bytes=2 * per_frame + 1024),
+    )
+    trainer = Trainer(cfg, train_ds, val_ds, logger=MetricLogger(stdout=False))
+
+    assert trainer._host_cache is not None      # windowed mode engaged
+    assert trainer._device_data is None         # nothing resident yet
+    assert trainer._window_frames == 2
+    assert trainer.epoch_runner is not None     # still the TPU-native path
+
+    n_train = len(train_ds)
+    metrics = trainer.train_epoch(0, jax.random.PRNGKey(0))
+    # every full 2-frame window contributes (2*oversample)//B steps
+    expected = sum(
+        (w * cfg.train.oversample) // cfg.train.batch_size
+        for w in [2] * (n_train // 2) + ([n_train % 2] if n_train % 2 else [])
+    )
+    assert metrics["steps"] == expected
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(trainer.state.step) == expected
+    assert trainer._device_data is not None     # last window still resident
+    assert trainer._device_data.frames.shape[0] <= 2
+
+
+def test_tiny_budget_falls_back_to_host_pipeline(synthetic_root, tmp_path):
+    """A budget below one batch of frames cannot run windowed — the exact
+    host pipeline takes over."""
+    train_ds = ColibriDataset(synthetic_root, fold=0, partition="train")
+    cfg = Config(
+        model=ModelConfig(phi=0, image_size=128),
+        train=TrainConfig(batch_size=2, checkpoint_dir=str(tmp_path / "ckpt")),
+        data=DataConfig(num_workers=1, device_resident_budget_bytes=1000),
+    )
+    trainer = Trainer(cfg, train_ds, train_ds, logger=MetricLogger(stdout=False))
+    assert trainer.epoch_runner is None
+    assert trainer._host_cache is None
+
+
 def test_trainer_mesh_rejects_indivisible_batch(synthetic_root, tmp_path):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
