@@ -17,8 +17,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(num_clients=4, frames_per_client=50, frame_size=480):
+def main(num_clients=4, frames_per_client=50, frame_size=480, backend="default"):
     import jax
+
+    if backend == "cpu":
+        # must happen before any device query (CLAUDE.md: the env var alone
+        # is consumed by sitecustomize's preimport)
+        jax.config.update("jax_platforms", "cpu")
 
     # NOTE: do NOT enable the persistent compilation cache here — on the
     # axon remote-compile tunnel, cache-loaded large executables execute ~30x
@@ -82,4 +87,13 @@ def main(num_clients=4, frames_per_client=50, frame_size=480):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-clients", type=int, default=4)
+    ap.add_argument("--frames-per-client", type=int, default=50)
+    ap.add_argument("--frame-size", type=int, default=480)
+    ap.add_argument("--backend", choices=["cpu", "default"], default="default",
+                    help="cpu: run without the TPU (e.g. during a relay outage)")
+    a = ap.parse_args()
+    main(a.num_clients, a.frames_per_client, a.frame_size, a.backend)
