@@ -71,13 +71,20 @@ def cmd_train(args):
 
     print(format_model_stats(cfg.model, batch_size=1))
 
-    params = bn_state = None
+    params = bn_state = opt_leaves = None
+    start_step = 0
     if args.ckpt:
+        from hmd_ego_pose_tpu.train.checkpoint import restore_opt_leaves
+
         params, bn_state, meta = restore_checkpoint(args.ckpt)
-        print(f"restored checkpoint {args.ckpt}: {meta.get('metric')}")
+        opt_leaves = restore_opt_leaves(args.ckpt)
+        start_step = int(meta.get("train_step", 0))
+        print(f"restored checkpoint {args.ckpt}: {meta.get('metric')}"
+              f" (opt moments: {'yes' if opt_leaves else 'no'})")
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
-    trainer = Trainer(cfg, train_ds, val_ds, mesh=mesh, params=params, bn_state=bn_state)
+    trainer = Trainer(cfg, train_ds, val_ds, mesh=mesh, params=params,
+                      bn_state=bn_state, opt_leaves=opt_leaves, start_step=start_step)
     best = trainer.fit()
     print(f"best checkpoint: {best}")
 

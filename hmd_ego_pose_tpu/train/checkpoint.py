@@ -62,10 +62,18 @@ def save_checkpoint(
     bn_state,
     metadata: Optional[Dict[str, Any]] = None,
     backend: str = "npz",
+    opt_state=None,
 ) -> str:
     """Save a checkpoint; ``backend``: "npz" (portable, default), "orbax",
     or "int8" (weights symmetric-per-channel int8-quantized for distribution,
-    ~4x smaller; restore dequantizes transparently)."""
+    ~4x smaller; restore dequantizes transparently).
+
+    ``opt_state`` (npz backend only): persist the optimizer state LEAVES so a
+    resumed run keeps its Adam/SGD moments — a shift-based run that rebuilds
+    the optimizer from scratch re-warms the moments every restart.  Only the
+    leaves are stored; restore_opt_leaves + Trainer(opt_leaves=...) rebuild
+    against a freshly-initialized optimizer treedef (the structure is code,
+    the leaves are state)."""
     os.makedirs(directory, exist_ok=True)
     if backend == "orbax":
         return _save_orbax(directory, name, params, bn_state, metadata)
@@ -84,10 +92,23 @@ def save_checkpoint(
             {"params/" + k: np.asarray(v) for k, v in _flatten(jax.device_get(params)).items()}
         )
     flat.update({"bn/" + k: np.asarray(v) for k, v in _flatten(jax.device_get(bn_state)).items()})
+    if opt_state is not None and backend == "npz":
+        for i, leaf in enumerate(jax.tree.leaves(jax.device_get(opt_state))):
+            flat[f"opt/{i:05d}"] = np.asarray(leaf)
     np.savez(path, **flat)
     with open(os.path.join(directory, name + ".json"), "w") as f:
         json.dump(metadata or {}, f, indent=2)
     return path
+
+
+def restore_opt_leaves(path: str):
+    """Optimizer-state leaves saved alongside an npz checkpoint, in
+    ``jax.tree.leaves`` order (numpy, host-side); None if absent."""
+    if os.path.isdir(path):
+        return None
+    data = np.load(path)
+    keys = sorted(k for k in data.files if k.startswith("opt/"))
+    return [data[k] for k in keys] if keys else None
 
 
 def restore_checkpoint(path: str) -> Tuple[Any, Any, Dict[str, Any]]:

@@ -39,6 +39,8 @@ class Trainer:
         logger: Optional[MetricLogger] = None,
         params=None,
         bn_state=None,
+        opt_leaves=None,
+        start_step: int = 0,
     ):
         self.config = config
         self.train_dataset = train_dataset
@@ -101,6 +103,36 @@ class Trainer:
                 mesh=mesh,
             )
         self.state = self.step_fn.init_state(params, bn_state)
+        if opt_leaves is not None:
+            # resume the optimizer MOMENTS (checkpoint.py restore_opt_leaves):
+            # rebuild against the freshly-initialized treedef, bulk-upload the
+            # leaves, then re-inject THIS run's learning rate (the saved
+            # leaves carry the old one)
+            from hmd_ego_pose_tpu.train.state import set_learning_rate as _set_lr
+            from hmd_ego_pose_tpu.utils.device import to_default_device
+
+            template = self.state.opt_state
+            t_leaves, treedef = jax.tree.flatten(template)
+            if len(t_leaves) != len(opt_leaves):
+                raise ValueError(
+                    f"optimizer state mismatch: checkpoint has {len(opt_leaves)} "
+                    f"leaves, this optimizer has {len(t_leaves)} (config "
+                    "fine_tune/freeze_backbone changed?)"
+                )
+            import numpy as np
+
+            up = to_default_device(
+                [np.asarray(l).astype(t.dtype).reshape(t.shape)
+                 for l, t in zip(opt_leaves, t_leaves)]
+            )
+            self.state = self.state._replace(opt_state=jax.tree.unflatten(treedef, up))
+            self.state = _set_lr(self.state, config.train, config.train.learning_rate)
+        if start_step:
+            import jax.numpy as jnp
+
+            self.state = self.state._replace(
+                step=jnp.asarray(start_step, jnp.int32))
+        self._steps_done = int(start_step)
         self.predict_fn = make_eval_forward(config)
         self.scheduler = ReduceLROnPlateau(
             config.train.learning_rate,
@@ -254,6 +286,7 @@ class Trainer:
             # epochs (the first fetch permanently degrades a relay session)
             means["epoch_seconds"] = time.time() - t0
             means["steps"] = n
+            self._steps_done += n
             return means
 
         # host-pipeline path: keep per-step metric arrays as device handles;
@@ -274,6 +307,7 @@ class Trainer:
                 means[k] = float(jnp.mean(jnp.stack([m[k] for m in collected])))
         means["epoch_seconds"] = time.time() - t0
         means["steps"] = n
+        self._steps_done += n
         return means
 
     def validate(self, max_images: Optional[int] = None) -> EvalResult:
@@ -348,13 +382,18 @@ class Trainer:
 
             # rolling crash-resume checkpoint: best-only saving (the
             # reference policy) writes nothing until the first true positive,
-            # which can be many epochs into a from-scratch run
+            # which can be many epochs into a from-scratch run.  Carries the
+            # optimizer moments + step counter so a resumed shift does not
+            # re-warm Adam from zero (Trainer(opt_leaves=..., start_step=...))
             save_checkpoint(
                 self.config.train.checkpoint_dir,
                 "last",
                 self.state.params,
                 self.state.bn_state,
-                metadata={"epoch": epoch, "metric": metric, "config": repr(self.config)},
+                metadata={"epoch": epoch, "metric": metric,
+                          "train_step": self._steps_done,
+                          "config": repr(self.config)},
+                opt_state=self.state.opt_state,
             )
 
             if on_epoch_end is not None:

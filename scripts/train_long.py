@@ -37,7 +37,7 @@ def run_shift(args):
         Config, DataConfig, EvalConfig, LossConfig, ModelConfig, TrainConfig,
     )
     from hmd_ego_pose_tpu.data.colibri import ColibriDataset
-    from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
+    from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint, restore_opt_leaves
     from hmd_ego_pose_tpu.train.trainer import Trainer
     from hmd_ego_pose_tpu.utils.logging import MetricLogger
 
@@ -62,7 +62,8 @@ def run_shift(args):
     train_ds = ColibriDataset(root, fold=0, partition="train")
     val_ds = ColibriDataset(root, fold=0, partition="val")
 
-    params = bn_state = None
+    params = bn_state = opt_leaves = None
+    start_step = 0
     last = os.path.join(ckpt_dir, "last.npz")
     sidecar = os.path.join(args.workdir, "epochs_done.json")
     epochs_done = 0
@@ -71,8 +72,13 @@ def run_shift(args):
             epochs_done = json.load(f)["epochs_done"]
     if os.path.exists(last):
         params, bn_state, meta = restore_checkpoint(last)
+        # resume the Adam moments too (older checkpoints lack them: leaves
+        # None -> fresh moments, the previous behavior)
+        opt_leaves = restore_opt_leaves(last)
+        start_step = int(meta.get("train_step", 0))
         print(f"[shift] restored {last} (epoch {meta.get('epoch')}, "
-              f"cumulative {epochs_done})")
+              f"cumulative {epochs_done}, "
+              f"opt_moments={'yes' if opt_leaves else 'no'}, step {start_step})")
     elif args.torch_init:
         # exercise the torch-checkpoint init path: build the reference
         # architecture in torch, convert its state_dict, train from it
@@ -114,6 +120,7 @@ def run_shift(args):
 
     trainer = Trainer(
         cfg, train_ds, val_ds, params=params, bn_state=bn_state,
+        opt_leaves=opt_leaves, start_step=start_step,
         logger=MetricLogger(log_dir=os.path.join(args.workdir, "runs")),
     )
     t0 = time.time()

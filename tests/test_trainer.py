@@ -157,6 +157,63 @@ def test_trainer_mesh_device_resident_epoch_runner(synthetic_root_16, tmp_path, 
     assert int(trainer.state.step) == metrics["steps"]
 
 
+def test_resume_restores_optimizer_moments(synthetic_root, tmp_path, monkeypatch):
+    """last.npz carries the optimizer leaves + step counter; a resumed
+    Trainer continues with the SAME Adam moments instead of re-warming them
+    (shift-based runs previously reset the moments every restart)."""
+    from hmd_ego_pose_tpu.eval.evaluator import EvalResult
+    from hmd_ego_pose_tpu.train.checkpoint import restore_opt_leaves
+    import hmd_ego_pose_tpu.train.trainer as trainer_mod
+
+    monkeypatch.setattr(
+        trainer_mod, "evaluate_model",
+        lambda *a, **k: EvalResult(mixed_point_distance_mean_mm=42.0),
+    )
+    cfg = Config(
+        model=ModelConfig(phi=0, image_size=128),
+        train=TrainConfig(batch_size=2, learning_rate=2e-4, epochs=1, oversample=1,
+                          freeze_backbone=False, checkpoint_dir=str(tmp_path / "ckpt")),
+        data=DataConfig(use_6dof_augmentation=False, use_colorspace_augmentation=False,
+                        num_workers=1),
+    )
+    train_ds = ColibriDataset(synthetic_root, fold=0, partition="train")
+    t1 = Trainer(cfg, train_ds, train_ds, logger=MetricLogger(stdout=False))
+    t1.fit(epochs=1)
+
+    last = os.path.join(cfg.train.checkpoint_dir, "last.npz")
+    params, bn, meta = restore_checkpoint(last)
+    leaves = restore_opt_leaves(last)
+    assert leaves is not None and meta["train_step"] == t1._steps_done > 0
+
+    t2 = Trainer(cfg, train_ds, train_ds, logger=MetricLogger(stdout=False),
+                 params=params, bn_state=bn, opt_leaves=leaves,
+                 start_step=meta["train_step"])
+    # moments match bit-for-bit and the step counter continues
+    a = jax.tree.leaves(jax.device_get(t1.state.opt_state))
+    b = jax.tree.leaves(jax.device_get(t2.state.opt_state))
+    assert len(a) == len(b)
+    diffs = [
+        float(np.max(np.abs(np.asarray(x, np.float64) - np.asarray(y, np.float64))))
+        for x, y in zip(a, b) if np.asarray(x).dtype != np.int32
+    ]
+    # every leaf except the re-injected learning rate is identical; the lr
+    # leaf equals config lr in both trainers here, so ALL must match
+    assert max(diffs) == 0.0
+    assert int(t2.state.step) == meta["train_step"]
+    # and it keeps training from there
+    t2.fit(epochs=1)
+    assert t2._steps_done == 2 * meta["train_step"]
+
+    # a mismatched optimizer is rejected loudly (SGD has fewer leaves than
+    # Adam's mu+nu moments)
+    import dataclasses
+
+    bad_cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, fine_tune=True))
+    with pytest.raises(ValueError, match="optimizer state mismatch"):
+        Trainer(bad_cfg, train_ds, train_ds, logger=MetricLogger(stdout=False),
+                params=params, bn_state=bn, opt_leaves=leaves)
+
+
 def test_plan_epoch_chunks():
     from hmd_ego_pose_tpu.train.step import plan_epoch_chunks
 
