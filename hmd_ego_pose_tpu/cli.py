@@ -284,6 +284,21 @@ def cmd_make_synthetic(args):
     print(f"synthetic colibri dataset at {path}")
 
 
+def cmd_format_labels(args):
+    """Reference format-labels/pkl_to_formatted_txt.py workflow."""
+    import glob
+
+    from hmd_ego_pose_tpu.data.format_labels import convert_pickles
+
+    paths = sorted(glob.glob(os.path.join(args.in_dir, "*.pkl")) +
+                   glob.glob(os.path.join(args.in_dir, "*.pickle")))
+    if not paths:
+        raise SystemExit(f"no .pkl/.pickle files under {args.in_dir}")
+    out = convert_pickles(paths, args.out_dir, object_id=args.object_id,
+                          fold=args.fold)
+    print(f"{len(paths)} frames -> LINEMOD layout at {out}")
+
+
 def main(argv=None):
     # honor JAX_PLATFORMS even when a sitecustomize preimported jax and
     # already consumed the env var (the backend initializes lazily, so a
@@ -362,6 +377,14 @@ def main(argv=None):
     p.add_argument("--img-size", type=int, default=256)
     p.add_argument("--lenient", action="store_true", help="tolerate missing/extra keys")
     p.set_defaults(func=cmd_parity)
+
+    p = sub.add_parser("format-labels",
+                       help="pickle dumps -> LINEMOD dataset (reference format-labels/)")
+    p.add_argument("--in-dir", required=True, help="directory of per-frame .pkl files")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--object-id", type=int, default=1)
+    p.add_argument("--fold", type=int, default=0)
+    p.set_defaults(func=cmd_format_labels)
 
     p = sub.add_parser("make-synthetic", help="generate a synthetic colibri dataset")
     p.add_argument("--out-dir", required=True)
