@@ -237,6 +237,10 @@ class DataConfig:
     translation_scale_norm: float = 1000.0  # dataset is in mm internally
     use_6dof_augmentation: bool = True
     use_colorspace_augmentation: bool = True
+    # padded ground-truth rows per frame.  The colibri family is K=1; K>1
+    # datasets must provide per-object 'mask_values' in annotations so the
+    # 6-DoF warp can recompute each object's bbox from the warped mask.
+    max_objects: int = 1
     chance_no_augmentation: float = 0.02
     scale_6dof_augmentation: Tuple[float, float] = (0.7, 1.3)
     num_workers: int = 4

@@ -36,6 +36,7 @@ class DeviceData(NamedTuple):
     gt_coords_3d: jax.Array  # (N, K, 21, 3)
     gt_labels: jax.Array  # (N, K) int32
     gt_valid: jax.Array  # (N, K) bool
+    gt_mask_values: jax.Array  # (N, K) int32 per-object mask pixel values
 
 
 class HostCache(NamedTuple):
@@ -56,6 +57,7 @@ class HostCache(NamedTuple):
     gt_coords_3d: np.ndarray
     gt_labels: np.ndarray
     gt_valid: np.ndarray
+    gt_mask_values: np.ndarray
 
     def bytes_per_frame(self) -> int:
         n = self.frames.shape[0]
@@ -84,6 +86,9 @@ def build_host_cache(dataset, max_objects: int = 1) -> HostCache:
     coords = np.zeros((n, k, 21, 3), np.float32)
     labels = np.zeros((n, k), np.int32)
     valid = np.zeros((n, k), bool)
+    # per-object mask pixel values: single-object datasets render at 255
+    # (colibri convention); K>1 datasets must say which pixel value is whose
+    mask_values = np.full((n, k), 255, np.int32)
 
     for i in range(n):
         frames[i] = dataset.load_image(i)
@@ -100,9 +105,16 @@ def build_host_cache(dataset, max_objects: int = 1) -> HostCache:
         coords[i, :num] = anno["coords_3d"][:num]
         labels[i, :num] = anno["labels"][:num]
         valid[i, :num] = True
+        if "mask_values" in anno:
+            mask_values[i, :num] = anno["mask_values"][:num]
+        elif num > 1:
+            raise ValueError(
+                "multi-object frames need per-object 'mask_values' in "
+                "annotations (which mask pixel value is which object)"
+            )
 
     return HostCache(frames, masks, cam4, boxes, rots, is_sym, trans,
-                     coords, labels, valid)
+                     coords, labels, valid, mask_values)
 
 
 def upload_window(cache: HostCache, rows: Optional[np.ndarray] = None,
@@ -156,4 +168,5 @@ def gather_raw_batch(data: DeviceData, idx) -> RawBatch:
         gt_coords_3d=take(data.gt_coords_3d),
         gt_labels=take(data.gt_labels),
         gt_valid=take(data.gt_valid),
+        gt_mask_values=take(data.gt_mask_values),
     )

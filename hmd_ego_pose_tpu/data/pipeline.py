@@ -34,7 +34,7 @@ class InputPipeline:
         model_config: ModelConfig,
         batch_size: int,
         training: bool = True,
-        max_objects: int = 1,
+        max_objects: Optional[int] = None,
         seed: int = 0,
     ):
         self.dataset = dataset
@@ -42,7 +42,9 @@ class InputPipeline:
         self.model_cfg = model_config
         self.batch_size = batch_size
         self.training = training
-        self.max_objects = max_objects
+        self.max_objects = (
+            max_objects if max_objects is not None else data_config.max_objects
+        )
         self.rng = np.random.RandomState(seed)
         self.color_aug = ColorAugmenter()
         if data_config.preload and hasattr(dataset, "preload"):
@@ -60,7 +62,10 @@ class InputPipeline:
             if self.cfg.use_6dof_augmentation:
                 mask = self.dataset.load_mask(index)
                 angle, scale = random_6dof_params(rng, self.cfg.scale_6dof_augmentation)
-                image, anno, _ = augment_6dof(image, mask, anno, cam, angle, scale)
+                image, anno, _ = augment_6dof(
+                    image, mask, anno, cam, angle, scale,
+                    mask_values=anno.get("mask_values"),
+                )
 
         image, image_scale = preprocess_image(image, self.model_cfg.image_size)
 
@@ -120,6 +125,7 @@ class InputPipeline:
         coords = np.zeros((k, 21, 3), np.float32)
         labels = np.zeros((k,), np.int32)
         valid = np.zeros((k,), bool)
+        mask_values = np.full((k,), 255, np.int32)
 
         boxes[:num] = anno["bboxes"][:num]
         rotations[:num] = anno["rotations"][:num, :3]
@@ -128,9 +134,17 @@ class InputPipeline:
         coords[:num] = anno["coords_3d"][:num]
         labels[:num] = anno["labels"][:num]
         valid[:num] = True
+        if "mask_values" in anno:
+            mask_values[:num] = anno["mask_values"][:num]
+        elif num > 1:
+            raise ValueError(
+                "multi-object frames need per-object 'mask_values' in "
+                "annotations (which mask pixel value is which object)"
+            )
 
         cam4 = np.array([cam[0, 0], cam[1, 1], cam[0, 2], cam[1, 2]], np.float32)
-        return image, mask, cam4, boxes, rotations, is_sym, translations, coords, labels, valid
+        return (image, mask, cam4, boxes, rotations, is_sym, translations,
+                coords, labels, valid, mask_values)
 
     def _make_raw_batch(self, indices, _seeds):
         from hmd_ego_pose_tpu.ops.augment_device import RawBatch

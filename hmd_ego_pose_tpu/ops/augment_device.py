@@ -364,7 +364,9 @@ class RawBatch(NamedTuple):
 
     The host only decodes (cached) PNGs and packs arrays; augmentation,
     preprocessing and target assignment all happen inside the train step.
-    Single-object datasets (K = 1, mask value 255) — the colibri family.
+    K = 1 with ``gt_mask_values=None`` is the colibri family (one object,
+    mask value 255); K > 1 requires per-object mask pixel values so the
+    warp can recompute each object's bbox from the warped mask.
     """
 
     frames: jax.Array  # (B, H, W, 3) uint8
@@ -377,6 +379,7 @@ class RawBatch(NamedTuple):
     gt_coords_3d: jax.Array  # (B, K, 21, 3)
     gt_labels: jax.Array  # (B, K) int32
     gt_valid: jax.Array  # (B, K) bool
+    gt_mask_values: jax.Array | None = None  # (B, K) int32; None -> all 255
 
 
 class AugmentedExample(NamedTuple):
@@ -443,6 +446,81 @@ def augment_6dof_device(
     )
 
 
+def augment_6dof_device_multi(
+    image_u8,
+    mask_u8,
+    bboxes,
+    rotations,
+    translations,
+    coords_3d,
+    mask_values,
+    valid,
+    cx,
+    cy,
+    angle_deg,
+    scale,
+):
+    """K-object device 6-DoF warp: one shared image/mask warp, per-object
+    label math vmapped over K, per-object bboxes recomputed from the warped
+    mask at each object's own pixel value.
+
+    Semantics mirror the host oracle ``data.augment.augment_6dof`` with
+    ``mask_values``: the warp is kept when at least one valid object's mask
+    survives; objects whose mask leaves the frame are invalidated (the host
+    DROPS their rows — static device shapes keep the rows and clear
+    ``valid`` instead, which target assignment treats identically); the
+    whole sample reverts only when EVERY valid object vanishes
+    (colibri_common.py:426-431).  Restricted to K=1 / mask value 255 this
+    is bit-identical to ``augment_6dof_device``.
+
+    Args:
+        bboxes: (K, 4); rotations: (K, 3); translations: (K, 3);
+        coords_3d: (K, 21, 3); mask_values: (K,) int; valid: (K,) bool.
+    Returns:
+        (image, bboxes, rotations, translations, coords_3d, valid, applied)
+        with the same per-object shapes; ``applied`` is the scalar keep
+        flag.
+    """
+    inv = inverse_affine(-angle_deg, scale, cx, cy)
+    aug_image = warp_bilinear_u8(image_u8, inv)
+    aug_mask = warp_nearest_u8(mask_u8, inv)
+
+    rz = jnp.stack([0.0, 0.0, angle_deg * (math.pi / 180.0)])
+    rot_z = axis_angle_to_matrix(rz)
+    hi = jax.lax.Precision.HIGHEST
+
+    def per_object(bbox, rotation, translation, coords, mval):
+        new_bbox, obj_valid = bbox_from_mask_jnp(aug_mask == mval)
+        r_obj = axis_angle_to_matrix(rotation)
+        new_rot = matrix_to_axis_angle_jnp(
+            jnp.einsum("ij,jk->ik", rot_z, r_obj, precision=hi)
+        )
+        new_t = jnp.einsum("ij,j->i", rot_z, translation, precision=hi)
+        new_t = new_t.at[2].set(new_t[2] / scale)
+        new_c = jnp.einsum("pj,ij->pi", coords, rot_z, precision=hi)
+        new_c = new_c.at[:, 2].set(new_c[:, 2] / scale)
+        return new_bbox, new_rot, new_t, new_c, obj_valid
+
+    nb, nr, nt, nc, obj_valid = jax.vmap(per_object)(
+        bboxes, rotations, translations, coords_3d,
+        mask_values.astype(mask_u8.dtype),
+    )
+    keep = jnp.any(obj_valid & valid)
+
+    def sel(a, b):
+        return jnp.where(keep, a, b)
+
+    return (
+        sel(aug_image, image_u8),
+        sel(nb, bboxes),
+        sel(nr, rotations),
+        sel(nt, translations),
+        sel(nc, coords_3d),
+        jnp.where(keep, valid & obj_valid, valid),
+        keep,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batched augment + preprocess: RawBatch -> train.step.Batch
 # ---------------------------------------------------------------------------
@@ -468,11 +546,19 @@ def augment_and_preprocess_batch(
 
     b, h, w, _ = raw.frames.shape
     k = raw.gt_boxes.shape[1]
-    assert k == 1, "device augmentation supports single-object datasets (K=1)"
+    mask_values = raw.gt_mask_values
+    if mask_values is None:
+        # colibri-family convention: one object rendered at mask value 255
+        if k != 1:
+            raise ValueError(
+                "K>1 device augmentation needs RawBatch.gt_mask_values "
+                "(per-object mask pixel values)"
+            )
+        mask_values = jnp.full((b, k), 255, jnp.int32)
 
     keys = jax.random.split(key, b * 4).reshape(b, 4, 2)
 
-    def one(frame, mask, cam4, bbox, rot, trans, coords, ks):
+    def one(frame, mask, cam4, bbox, rot, trans, coords, mvals, vld, ks):
         k_apply, k_color, k_angle, k_scale = ks[0], ks[1], ks[2], ks[3]
         apply_aug = jax.random.uniform(k_apply) >= chance_no_augmentation
 
@@ -487,30 +573,36 @@ def augment_and_preprocess_batch(
                 jax.random.uniform(k_scale) * (scale_range[1] - scale_range[0])
                 + scale_range[0]
             )
-            out = augment_6dof_device(
-                img, mask, bbox, rot, trans, coords, cam4[2], cam4[3], angle, scale
+            (a_img, a_bbox, a_rot, a_trans, a_coords, a_valid, _) = (
+                augment_6dof_device_multi(
+                    img, mask, bbox, rot, trans, coords, mvals, vld,
+                    cam4[2], cam4[3], angle, scale,
+                )
             )
 
             def sel(aug, orig):
                 shape = (1,) * orig.ndim
                 return jnp.where(jnp.reshape(apply_aug, shape), aug, orig)
 
-            img = sel(out.image, img)
-            bbox_o = sel(out.bbox, bbox)
-            rot_o = sel(out.rotation, rot)
-            trans_o = sel(out.translation, trans)
-            coords_o = sel(out.coords_3d, coords)
-            return img, bbox_o, rot_o, trans_o, coords_o
-        return img, bbox, rot, trans, coords
+            img = sel(a_img, img)
+            bbox_o = sel(a_bbox, bbox)
+            rot_o = sel(a_rot, rot)
+            trans_o = sel(a_trans, trans)
+            coords_o = sel(a_coords, coords)
+            valid_o = sel(a_valid, vld)
+            return img, bbox_o, rot_o, trans_o, coords_o, valid_o
+        return img, bbox, rot, trans, coords, vld
 
-    imgs, bboxes, rots, transs, coordss = jax.vmap(one)(
+    imgs, bboxes, rots, transs, coordss, valids = jax.vmap(one)(
         raw.frames,
         raw.masks,
         raw.camera_fxfycxcy,
-        raw.gt_boxes[:, 0],
-        raw.gt_rotations[:, 0],
-        raw.gt_translations[:, 0],
-        raw.gt_coords_3d[:, 0],
+        raw.gt_boxes,
+        raw.gt_rotations,
+        raw.gt_translations,
+        raw.gt_coords_3d,
+        mask_values,
+        raw.gt_valid,
         keys,
     )
 
@@ -527,18 +619,20 @@ def augment_and_preprocess_batch(
     )
 
     # label-space preprocessing (data/pipeline.py:66-70): scale bboxes and
-    # hand coords by the image scale, normalize rotation to [-1, 1]
-    gt_boxes = (bboxes * image_scale)[:, None, :]
+    # hand coords by the image scale, normalize rotation to [-1, 1].  The
+    # class column drives the loss's per-class 3D-model-point lookup
+    # (losses.py transformation branch), so it must carry the real label.
+    gt_boxes = bboxes * image_scale  # (B, K, 4)
     transformation = jnp.concatenate(
         [
             rots / jnp.pi,
             transs,
-            raw.gt_is_sym[:, 0:1],
-            jnp.zeros((b, 1), jnp.float32),
+            raw.gt_is_sym[..., None],
+            raw.gt_labels.astype(jnp.float32)[..., None],
         ],
-        axis=1,
-    )[:, None, :]
-    gt_coords = (coordss * image_scale).reshape(b, 1, 63)
+        axis=-1,
+    )  # (B, K, 8)
+    gt_coords = (coordss * image_scale).reshape(b, k, 63)
 
     return Batch(
         images=images,
@@ -547,5 +641,5 @@ def augment_and_preprocess_batch(
         gt_labels=raw.gt_labels,
         gt_transformation=transformation.astype(jnp.float32),
         gt_coords_3d=gt_coords.astype(jnp.float32),
-        gt_valid=raw.gt_valid,
+        gt_valid=valids,
     )

@@ -80,7 +80,7 @@ class Trainer:
                 build_host_cache, upload_window,
             )
 
-            cache = build_host_cache(train_dataset)
+            cache = build_host_cache(train_dataset, config.data.max_objects)
             budget = config.data.device_resident_budget_bytes
             if sum(a.nbytes for a in cache) <= budget:
                 self._device_data = upload_window(cache, None, mesh)

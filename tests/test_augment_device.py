@@ -343,3 +343,195 @@ def test_device_dataset_matches_raw_pipeline(tmp_path):
 
     # budget miss -> None
     assert build_device_data(ds, budget_bytes=10) is None
+
+
+# ---------------------------------------------------------------------------
+# Multi-object (K > 1) device augmentation
+# ---------------------------------------------------------------------------
+
+
+def _two_object_scene(rng, h=96, w=96, corner=False):
+    """Frame with two disjoint objects at mask values 60 and 200."""
+    image = rng.randint(0, 256, (h, w, 3), np.uint8)
+    mask = np.zeros((h, w), np.uint8)
+    if corner:
+        mask[2:10, 2:10] = 60  # vanishes under zoom-in warps
+    else:
+        mask[12:34, 10:36] = 60
+    mask[52:80, 48:82] = 200
+
+    cam = np.array([[100.0, 0, w / 2], [0, 100.0, h / 2], [0, 0, 1.0]])
+    rotvecs = np.stack([matrix_to_axis_angle(_rand_rot(rng)) for _ in range(2)])
+    trans = np.array([[12.0, -8.0, 500.0], [-20.0, 15.0, 650.0]])
+    coords = rng.normal(scale=40, size=(2, 21, 3)) + [0, 0, 500.0]
+
+    def bbox_of(v):
+        ys, xs = np.where(mask == v)
+        return [xs.min(), ys.min(), xs.max(), ys.max()]
+
+    anno = {
+        "labels": np.array([0, 1], np.int64),
+        "bboxes": np.array([bbox_of(60), bbox_of(200)], np.float64),
+        "rotations": np.concatenate([rotvecs, np.zeros((2, 2))], axis=1),
+        "translations": trans,
+        "translations_x_y_2D": np.zeros((2, 2)),
+        "coords_3d": coords,
+        "mask_values": np.array([60, 200], np.int32),
+    }
+    return image, mask, cam, anno
+
+
+def test_augment_6dof_device_multi_matches_host_k2():
+    """K=2 device warp == host augment_6dof with per-object mask_values."""
+    rng = np.random.RandomState(21)
+    image, mask, cam, anno = _two_object_scene(rng)
+    angle, scale = 41.0, 1.15
+
+    aug_img, out, ok = host_aug.augment_6dof(
+        image, mask, anno, cam, angle, scale, mask_values=anno["mask_values"]
+    )
+    assert ok and out["bboxes"].shape[0] == 2  # both objects survive
+
+    img, bbs, rots, trs, crds, valid, applied = dev.augment_6dof_device_multi(
+        jnp.asarray(image), jnp.asarray(mask),
+        jnp.asarray(anno["bboxes"], jnp.float32),
+        jnp.asarray(anno["rotations"][:, :3], jnp.float32),
+        jnp.asarray(anno["translations"], jnp.float32),
+        jnp.asarray(anno["coords_3d"], jnp.float32),
+        jnp.asarray(anno["mask_values"]),
+        jnp.ones((2,), bool),
+        cam[0, 2], cam[1, 2], angle, scale,
+    )
+    assert bool(applied)
+    np.testing.assert_array_equal(np.asarray(valid), [True, True])
+    np.testing.assert_array_equal(np.asarray(bbs), out["bboxes"])
+    for i in range(2):
+        np.testing.assert_allclose(
+            np_axis_angle_to_matrix(np.asarray(rots[i])),
+            np_axis_angle_to_matrix(out["rotations"][i, :3]),
+            atol=1e-5,
+        )
+    np.testing.assert_allclose(np.asarray(trs), out["translations"], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(crds), out["coords_3d"], rtol=1e-4, atol=1e-3)
+    diff = np.abs(np.asarray(img).astype(int) - aug_img.astype(int))
+    assert (diff > 1).mean() == 0.0
+
+
+def test_augment_6dof_device_multi_k1_identical_to_single():
+    """Restricted to K=1 / value 255, the multi path is bit-identical."""
+    rng = np.random.RandomState(22)
+    h = w = 96
+    image = rng.randint(0, 256, (h, w, 3), np.uint8)
+    mask = np.zeros((h, w), np.uint8)
+    mask[30:60, 35:70] = 255
+    rotvec = matrix_to_axis_angle(_rand_rot(rng))
+    trans = np.array([12.0, -8.0, 500.0])
+    coords = rng.normal(scale=40, size=(21, 3)) + [0, 0, 500.0]
+    bbox = np.array([35.0, 30.0, 69.0, 59.0])
+    angle, scale = 73.0, 1.1
+
+    single = dev.augment_6dof_device(
+        jnp.asarray(image), jnp.asarray(mask),
+        jnp.asarray(bbox, jnp.float32), jnp.asarray(rotvec, jnp.float32),
+        jnp.asarray(trans, jnp.float32), jnp.asarray(coords, jnp.float32),
+        48.0, 48.0, angle, scale,
+    )
+    img, bbs, rots, trs, crds, valid, applied = dev.augment_6dof_device_multi(
+        jnp.asarray(image), jnp.asarray(mask),
+        jnp.asarray(bbox, jnp.float32)[None],
+        jnp.asarray(rotvec, jnp.float32)[None],
+        jnp.asarray(trans, jnp.float32)[None],
+        jnp.asarray(coords, jnp.float32)[None],
+        jnp.full((1,), 255, jnp.int32), jnp.ones((1,), bool),
+        48.0, 48.0, angle, scale,
+    )
+    assert bool(applied) == bool(single.applied)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(single.image))
+    np.testing.assert_array_equal(np.asarray(bbs[0]), np.asarray(single.bbox))
+    np.testing.assert_array_equal(np.asarray(rots[0]), np.asarray(single.rotation))
+    np.testing.assert_array_equal(np.asarray(trs[0]), np.asarray(single.translation))
+    np.testing.assert_array_equal(np.asarray(crds[0]), np.asarray(single.coords_3d))
+
+
+def test_augment_6dof_device_multi_vanish_invalidates_object():
+    """One object warped out of frame: warp kept, that object invalidated —
+    the static-shape twin of the host oracle's row drop."""
+    rng = np.random.RandomState(23)
+    image, mask, cam, anno = _two_object_scene(rng, corner=True)
+    angle, scale = 0.0, 3.0  # zoom-in: the corner object (value 60) leaves
+
+    aug_img, out, ok = host_aug.augment_6dof(
+        image, mask, anno, cam, angle, scale, mask_values=anno["mask_values"]
+    )
+    assert ok and out["bboxes"].shape[0] == 1  # host dropped the corner row
+
+    img, bbs, rots, trs, crds, valid, applied = dev.augment_6dof_device_multi(
+        jnp.asarray(image), jnp.asarray(mask),
+        jnp.asarray(anno["bboxes"], jnp.float32),
+        jnp.asarray(anno["rotations"][:, :3], jnp.float32),
+        jnp.asarray(anno["translations"], jnp.float32),
+        jnp.asarray(anno["coords_3d"], jnp.float32),
+        jnp.asarray(anno["mask_values"]),
+        jnp.ones((2,), bool),
+        cam[0, 2], cam[1, 2], angle, scale,
+    )
+    assert bool(applied)
+    np.testing.assert_array_equal(np.asarray(valid), [False, True])
+    # surviving object's labels match the host's remaining row
+    np.testing.assert_array_equal(np.asarray(bbs[1]), out["bboxes"][0])
+    np.testing.assert_allclose(np.asarray(trs[1]), out["translations"][0], rtol=1e-5)
+    diff = np.abs(np.asarray(img).astype(int) - aug_img.astype(int))
+    assert (diff > 1).mean() == 0.0
+
+
+def test_multi_object_train_step_end_to_end():
+    """K=2 RawBatch through the full jitted train step: per-class model-point
+    lookup engaged (2 classes), loss finite."""
+    from hmd_ego_pose_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from hmd_ego_pose_tpu.models import hmd_ego_pose
+    from hmd_ego_pose_tpu.ops.augment_device import RawBatch
+    from hmd_ego_pose_tpu.train.step import make_train_step
+
+    rng = np.random.RandomState(24)
+    b, h, w = 2, 128, 128
+    frames = rng.randint(0, 256, (b, h, w, 3), np.uint8)
+    masks = np.zeros((b, h, w), np.uint8)
+    masks[:, 20:50, 16:48] = 60
+    masks[:, 70:110, 64:112] = 200
+    raw = RawBatch(
+        frames=jnp.asarray(frames),
+        masks=jnp.asarray(masks),
+        camera_fxfycxcy=jnp.tile(
+            jnp.asarray([[90.0, 90.0, 64.0, 64.0]], jnp.float32), (b, 1)
+        ),
+        gt_boxes=jnp.tile(
+            jnp.asarray([[[16.0, 20.0, 47.0, 49.0], [64.0, 70.0, 111.0, 109.0]]],
+                        jnp.float32),
+            (b, 1, 1),
+        ),
+        gt_rotations=jnp.asarray(rng.normal(scale=0.8, size=(b, 2, 3)), jnp.float32),
+        gt_is_sym=jnp.zeros((b, 2), jnp.float32),
+        gt_translations=jnp.tile(
+            jnp.asarray([[[5.0, -3.0, 400.0], [-8.0, 6.0, 550.0]]], jnp.float32),
+            (b, 1, 1),
+        ),
+        gt_coords_3d=jnp.asarray(
+            rng.normal(scale=30, size=(b, 2, 21, 3)), jnp.float32
+        ),
+        gt_labels=jnp.tile(jnp.asarray([[0, 1]], jnp.int32), (b, 1)),
+        gt_valid=jnp.ones((b, 2), bool),
+        gt_mask_values=jnp.tile(jnp.asarray([[60, 200]], jnp.int32), (b, 1)),
+    )
+
+    cfg = Config(
+        model=ModelConfig(phi=0, image_size=128, num_classes=2),
+        train=TrainConfig(batch_size=2, learning_rate=1e-4),
+        data=DataConfig(device_augment=True, max_objects=2),
+    )
+    params, bn_state = hmd_ego_pose.init(jax.random.PRNGKey(0), cfg.model)
+    model_points = (rng.normal(size=(2, 64, 3)) * 50).astype(np.float32)
+    step = make_train_step(cfg, model_points, device_augment=True)
+    state = step.init_state(params, bn_state)
+    new_state, metrics = step.jitted(state, raw, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
