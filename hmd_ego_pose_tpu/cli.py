@@ -26,21 +26,38 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--dataset-path", required=True, help="root with data/ and models/")
     p.add_argument("--fold", type=int, default=0, help="cross-validation fold [0..4]")
     p.add_argument("--object-id", type=int, default=1)
+    p.add_argument(
+        "--object-ids", default=None,
+        help="comma-separated ids of a multi-object scene (beyond the "
+             "reference's K=1 colibri); sets num_classes/max_objects and "
+             "reads all objects from the first id's scene dir",
+    )
     p.add_argument("--iter", type=int, default=0, help="iterative refinement steps")
     p.add_argument("--img-size", type=int, default=256)
     p.add_argument("--phi", type=int, default=0, help="EfficientDet compound coefficient")
     p.add_argument("--batch-size", type=int, default=16)
 
 
+def _object_ids(args):
+    ids = getattr(args, "object_ids", None)
+    if ids is None:
+        return None
+    return [int(x) for x in str(ids).split(",") if x.strip()]
+
+
 def _make_config(args, **train_overrides):
     from hmd_ego_pose_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
 
+    ids = _object_ids(args)
+    k = len(ids) if ids else 1
     return Config(
-        model=ModelConfig(phi=args.phi, image_size=args.img_size, iter_steps=args.iter),
+        model=ModelConfig(phi=args.phi, image_size=args.img_size,
+                          iter_steps=args.iter, num_classes=k),
         train=TrainConfig(batch_size=args.batch_size, **train_overrides),
         data=DataConfig(
             dataset=args.dataset, dataset_path=args.dataset_path,
-            fold=args.fold, object_id=args.object_id, image_size=args.img_size,
+            fold=args.fold, object_id=ids[0] if ids else args.object_id,
+            image_size=args.img_size, max_objects=k,
         ),
     )
 
@@ -64,8 +81,11 @@ def cmd_train(args):
         freeze_backbone=args.freeze_backbone,
         eval_every=args.eval_every,
     )
-    train_ds = ColibriDataset(args.dataset_path, args.fold, args.object_id, "train")
-    val_ds = ColibriDataset(args.dataset_path, args.fold, args.object_id, "val")
+    ids = _object_ids(args)
+    train_ds = ColibriDataset(args.dataset_path, args.fold, args.object_id,
+                              "train", object_ids=ids)
+    val_ds = ColibriDataset(args.dataset_path, args.fold, args.object_id,
+                            "val", object_ids=ids)
 
     from hmd_ego_pose_tpu.utils.model_stats import format_model_stats
 
@@ -97,7 +117,8 @@ def cmd_evaluate(args):
     from hmd_ego_pose_tpu.train.step import make_eval_forward
 
     cfg = _make_config(args)
-    ds = ColibriDataset(args.dataset_path, args.fold, args.object_id, args.partition)
+    ds = ColibriDataset(args.dataset_path, args.fold, args.object_id,
+                        args.partition, object_ids=_object_ids(args))
     params, bn_state, _ = restore_checkpoint(args.ckpt)
     predict_fn = make_eval_forward(cfg, score_threshold=args.score_threshold)
     result = evaluate_model(
@@ -179,7 +200,8 @@ def cmd_debug(args):
     from hmd_ego_pose_tpu.data.image import imwrite
     from hmd_ego_pose_tpu.utils.visualization import render_frame
 
-    ds = ColibriDataset(args.dataset_path, args.fold, args.object_id, args.partition)
+    ds = ColibriDataset(args.dataset_path, args.fold, args.object_id,
+                        args.partition, object_ids=_object_ids(args))
     os.makedirs(args.out_dir, exist_ok=True)
     n = min(len(ds), args.num_images)
     for i in range(n):
@@ -279,7 +301,9 @@ def cmd_make_synthetic(args):
     from hmd_ego_pose_tpu.data.synthetic import generate_synthetic_colibri
 
     path = generate_synthetic_colibri(
-        args.out_dir, num_frames=args.num_frames, image_size=(args.frame_size, args.frame_size)
+        args.out_dir, num_frames=args.num_frames,
+        image_size=(args.frame_size, args.frame_size),
+        num_objects=args.num_objects,
     )
     print(f"synthetic colibri dataset at {path}")
 
@@ -390,6 +414,9 @@ def main(argv=None):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--num-frames", type=int, default=50)
     p.add_argument("--frame-size", type=int, default=480)
+    p.add_argument("--num-objects", type=int, default=1,
+                   help=">1 writes a multi-object scene (per-object mask "
+                        "values + mask_values.yml; train with --object-ids)")
     p.set_defaults(func=cmd_make_synthetic)
 
     args = parser.parse_args(argv)

@@ -69,7 +69,15 @@ def subsample_model_points(points: np.ndarray, count: int) -> np.ndarray:
 
 
 class ColibriDataset:
-    """Random-access reader for one object of a syn/real colibri fold+partition."""
+    """Random-access reader for one object of a syn/real colibri fold+partition.
+
+    ``object_ids`` (beyond the reference, whose colibri scenes are strictly
+    single-object) reads a MULTI-OBJECT scene: all frames live under the
+    first id's scene dir, ``gt_{fold}.yml`` carries one entry per object per
+    frame, the shared mask encodes each object at its own pixel value
+    (``mask_values.yml`` sidecar in the scene dir), and annotations get one
+    row per object present (labels = class indices 0..C-1).
+    """
 
     def __init__(
         self,
@@ -80,9 +88,12 @@ class ColibriDataset:
         image_extension: str = ".png",
         symmetric_objects=frozenset({"none", 2}),
         rotation_parameter: int = 3,
+        object_ids=None,
     ):
         self.dataset_path = dataset_path
-        self.object_id = object_id
+        self.object_id = object_id if object_ids is None else object_ids[0]
+        self.object_ids = list(object_ids) if object_ids is not None else [object_id]
+        object_id = self.object_id
         self.partition = partition
         self.symmetric_objects = symmetric_objects
         self.rotation_parameter = rotation_parameter
@@ -107,11 +118,31 @@ class ColibriDataset:
         with open(os.path.join(model_dir, "models_info.yml")) as f:
             models_info = yaml.safe_load(f)
 
-        self.model_info = models_info[object_id]
-        self.diameter = float(self.model_info["diameter"])
-        self.model_3d_points = load_ply_vertices(
-            os.path.join(model_dir, f"obj_{object_id:02d}.ply")
-        )
+        self.models_info = [models_info[oid] for oid in self.object_ids]
+        self.diameters = [float(mi["diameter"]) for mi in self.models_info]
+        self.models_3d_points = [
+            load_ply_vertices(os.path.join(model_dir, f"obj_{oid:02d}.ply"))
+            for oid in self.object_ids
+        ]
+        # class-0 aliases (the single-object API the reference exposes)
+        self.model_info = self.models_info[0]
+        self.diameter = self.diameters[0]
+        self.model_3d_points = self.models_3d_points[0]
+
+        # per-object mask pixel values: single-object scenes follow the
+        # colibri convention (everything nonzero is THE object); multi-object
+        # scenes must say which pixel value is whose (mask_values.yml)
+        if len(self.object_ids) == 1:
+            self._mask_values = {self.object_ids[0]: 255}
+        else:
+            mv_path = os.path.join(object_path, "mask_values.yml")
+            if not os.path.isfile(mv_path):
+                raise FileNotFoundError(
+                    f"multi-object scene needs {mv_path} (obj_id -> mask "
+                    "pixel value); single-object layouts don't"
+                )
+            with open(mv_path) as f:
+                self._mask_values = {int(k): int(v) for k, v in yaml.safe_load(f).items()}
 
         rgb_dir = os.path.join(object_path, "rgb")
         names = sorted(
@@ -124,44 +155,73 @@ class ColibriDataset:
 
         self.infos = []
         self.annotations = []
-        is_sym = float(self.is_symmetric_object(object_id))
+        multi = len(self.object_ids) > 1
         for frame_id, mask_path in zip(self.frame_ids, self.mask_paths):
-            gts = [g for g in gt_dict[frame_id] if g["obj_id"] == object_id]
-            gt = gts[0]
             cam_k = np.reshape(np.asarray(info_dict[frame_id]["cam_K"], np.float64), (3, 3))
             self.infos.append(cam_k)
-
-            rot_mat = np.reshape(np.asarray(gt["cam_R_m2c"], np.float64), (3, 3))
-            rotvec = matrix_to_axis_angle(rot_mat)
-            trans = np.asarray(gt["cam_t_m2c"], np.float64)
-
-            anno = {
-                "labels": np.zeros((1,), np.int64),
-                "bboxes": np.zeros((1, 4), np.float64),
-                "rotations": np.zeros((1, self.rotation_parameter + 2), np.float64),
-                "translations": trans[None, :].copy(),
-                "translations_x_y_2D": project_origin_2d(rotvec, trans, cam_k)[None, :],
-                "coords_3d": np.zeros((1, 21, 3), np.float64),
-                "drill_tip_transform": np.asarray(gt["drill_tip_transform"], np.float64)[None, :],
-            }
-            anno["rotations"][0, :3] = rotvec
-            anno["rotations"][0, 3] = is_sym
-            anno["rotations"][0, 4] = 0.0
-
             mask = imread_rgb(mask_path)
-            anno["bboxes"][0], _ = get_bbox_from_mask(mask)
 
+            # one hand per frame (reference layout), replicated to every row
             hands_dir = os.path.join(os.path.dirname(os.path.dirname(mask_path)), "hands")
-            coords_path = os.path.join(hands_dir, f"{frame_id:06d}_coords_3d.npy")
-            anno["coords_3d"][0] = np.load(coords_path)
+            hand = np.load(os.path.join(hands_dir, f"{frame_id:06d}_coords_3d.npy"))
+
+            rows = []
+            for cls, oid in enumerate(self.object_ids):
+                gt = next(g for g in gt_dict[frame_id] if g["obj_id"] == oid)
+                rot_mat = np.reshape(np.asarray(gt["cam_R_m2c"], np.float64), (3, 3))
+                rotvec = matrix_to_axis_angle(rot_mat)
+                trans = np.asarray(gt["cam_t_m2c"], np.float64)
+                # single-object keeps the colibri convention (mask != 0 is
+                # THE object); multi-object isolates this object's pixels
+                bbox, ok = get_bbox_from_mask(
+                    mask, self._mask_values[oid] if multi else None
+                )
+                if multi and not ok:
+                    continue  # fully occluded / out of frame: drop the row
+                tip = np.asarray(gt["drill_tip_transform"], np.float64)
+                rows.append((cls, oid, rotvec, trans, bbox, tip))
+
+            k = len(rows)
+            anno = {
+                "labels": np.zeros((k,), np.int64),
+                "bboxes": np.zeros((k, 4), np.float64),
+                "rotations": np.zeros((k, self.rotation_parameter + 2), np.float64),
+                "translations": np.zeros((k, 3), np.float64),
+                "translations_x_y_2D": np.zeros((k, 2), np.float64),
+                "coords_3d": np.zeros((k, 21, 3), np.float64),
+                "drill_tip_transform": np.zeros((k, 4), np.float64),
+            }
+            if multi:
+                anno["mask_values"] = np.zeros((k,), np.int64)
+            for r, (cls, oid, rotvec, trans, bbox, tip) in enumerate(rows):
+                anno["labels"][r] = cls
+                anno["bboxes"][r] = bbox
+                anno["rotations"][r, :3] = rotvec
+                anno["rotations"][r, 3] = float(self.is_symmetric_object(oid))
+                anno["rotations"][r, 4] = float(cls)
+                anno["translations"][r] = trans
+                anno["translations_x_y_2D"][r] = project_origin_2d(rotvec, trans, cam_k)
+                anno["coords_3d"][r] = hand
+                anno["drill_tip_transform"][r] = tip
+                if multi:
+                    anno["mask_values"][r] = self._mask_values[oid]
 
             self.annotations.append(anno)
 
-        # single-class mappings (colibri.py:71-75)
-        self.class_to_name = {0: "object"}
-        self.name_to_class = {"object": 0}
-        self.name_to_mask_value = {"object": 255}
-        self.class_labels_to_object_ids = {0: object_id}
+        if multi:
+            self.class_to_name = {
+                c: f"object_{oid:02d}" for c, oid in enumerate(self.object_ids)
+            }
+            self.class_labels_to_object_ids = dict(enumerate(self.object_ids))
+        else:
+            # single-class mappings (colibri.py:71-75)
+            self.class_to_name = {0: "object"}
+            self.class_labels_to_object_ids = {0: object_id}
+        self.name_to_class = {n: c for c, n in self.class_to_name.items()}
+        self.name_to_mask_value = {
+            self.class_to_name[c]: self._mask_values[oid]
+            for c, oid in enumerate(self.object_ids)
+        }
 
     # -- protocol -----------------------------------------------------------------
     def __len__(self):
@@ -170,7 +230,7 @@ class ColibriDataset:
     size = __len__
 
     def num_classes(self) -> int:
-        return 1
+        return len(self.object_ids)
 
     def has_label(self, label) -> bool:
         return label in self.class_to_name
@@ -227,10 +287,12 @@ class ColibriDataset:
     # -- model points -------------------------------------------------------------
     def model_points_for_loss(self, count: int = 500) -> np.ndarray:
         """(num_classes, count, 3) loss subsample (colibri_common.py:712-730)."""
-        return subsample_model_points(self.model_3d_points, count)[None, :, :]
+        return np.stack(
+            [subsample_model_points(pts, count) for pts in self.models_3d_points]
+        )
 
     def get_models_3d_points_dict(self):
-        return {0: self.model_3d_points}
+        return dict(enumerate(self.models_3d_points))
 
     def get_objects_diameter_dict(self):
-        return {0: self.diameter}
+        return dict(enumerate(self.diameters))

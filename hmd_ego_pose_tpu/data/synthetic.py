@@ -45,12 +45,14 @@ def _project(points, rot_mat, trans, cam_k):
     return np.stack([u, v], axis=1), z
 
 
-def _splat(image, mask, uv, z, colors, radius=3):
+def _splat(image, mask, uv, z, colors, radius=3, mask_value=255):
     """Painter's-algorithm point splat with z-ordering.
 
     ``colors``: (N, 3) per-point colors.  They are computed from model-frame
     coordinates so the rendered appearance encodes orientation — otherwise
     the 6-DoF rotation would be unlearnable from these images.
+    ``mask_value``: pixel value written into ``mask`` (multi-object frames
+    give each object its own value so per-object bboxes stay recoverable).
     """
     h, w = image.shape[:2]
     order = np.argsort(-z)  # far to near
@@ -60,7 +62,7 @@ def _splat(image, mask, uv, z, colors, radius=3):
             x0, x1 = max(0, x - radius), min(w, x + radius + 1)
             y0, y1 = max(0, y - radius), min(h, y + radius + 1)
             image[y0:y1, x0:x1] = colors[i]
-            mask[y0:y1, x0:x1] = 255
+            mask[y0:y1, x0:x1] = mask_value
 
 
 # Metric arm length per mm of hand-joint z offset from the drill plane (see
@@ -134,6 +136,11 @@ def hand_joint_colors() -> np.ndarray:
     return np.clip(np.rint(np.array(colors)), 0, 255).astype(np.uint8)
 
 
+# cuboid sizes (mm) cycled over the objects of a multi-object scene: distinct
+# shapes keep the per-class 3D models (and diameters) genuinely different
+_OBJECT_SIZES = ((40.0, 24.0, 110.0), (72.0, 72.0, 36.0), (96.0, 30.0, 30.0))
+
+
 def generate_synthetic_colibri(
     root: str,
     num_frames: int = 20,
@@ -143,64 +150,105 @@ def generate_synthetic_colibri(
     seed: int = 0,
     val_fraction: float = 0.2,
     test_fraction: float = 0.2,
+    num_objects: int = 1,
 ) -> str:
-    """Write a synthetic dataset under ``root``; returns the dataset path."""
+    """Write a synthetic dataset under ``root``; returns the dataset path.
+
+    ``num_objects > 1`` writes a MULTI-OBJECT scene (beyond the reference,
+    whose colibri generators are strictly K=1): every frame renders
+    ``num_objects`` distinctly-shaped cuboids with ids ``object_id..+K-1``,
+    each at its own mask pixel value (recorded in a ``mask_values.yml``
+    sidecar in the scene dir), gt_{fold}.yml carrying one entry per object
+    per frame.  The shared-frame layout otherwise matches LINEMOD, so the
+    K>1 reader/training/eval path is exercised on real files.
+    """
     rng = np.random.RandomState(seed)
     w, h = image_size
     cam_k = np.array([[480.0, 0.0, w / 2], [0.0, 480.0, h / 2], [0.0, 0.0, 1.0]])
 
+    object_ids = [object_id + i for i in range(num_objects)]
     obj_dir = os.path.join(root, "data", f"{object_id:02d}")
     model_dir = os.path.join(root, "models")
     for sub in ("rgb", "mask", "hands"):
         os.makedirs(os.path.join(obj_dir, sub), exist_ok=True)
     os.makedirs(model_dir, exist_ok=True)
 
-    model_points = _cuboid_points(rng=rng)
-    size = model_points.max(axis=0) - model_points.min(axis=0)
-    diameter = float(np.linalg.norm(size))
+    if num_objects == 1:
+        mask_values = [255]
+    else:
+        # distinct, widely separated pixel values (nearest-warp safe)
+        step = 155 // (num_objects - 1)
+        mask_values = [255 - i * step for i in range(num_objects)]
 
-    # orientation-revealing texture: color is a smooth function of the
-    # model-frame position, so every pose renders distinguishably
-    norm = (model_points - model_points.min(axis=0)) / np.maximum(size, 1e-6)
-    point_colors = (40 + 200 * norm).astype(np.uint8)
+    models_info, scene_objects = {}, []
+    for i, oid in enumerate(object_ids):
+        model_points = _cuboid_points(size=_OBJECT_SIZES[i % len(_OBJECT_SIZES)], rng=rng)
+        size = model_points.max(axis=0) - model_points.min(axis=0)
+        diameter = float(np.linalg.norm(size))
 
-    # write the PLY model (ascii)
-    ply_path = os.path.join(model_dir, f"obj_{object_id:02d}.ply")
-    with open(ply_path, "w") as f:
-        f.write("ply\nformat ascii 1.0\n")
-        f.write(f"element vertex {len(model_points)}\n")
-        f.write("property float x\nproperty float y\nproperty float z\nend_header\n")
-        for p in model_points:
-            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+        # orientation-revealing texture: color is a smooth function of the
+        # model-frame position, so every pose renders distinguishably;
+        # channel-rolled per object so classes are also tellable apart
+        norm = (model_points - model_points.min(axis=0)) / np.maximum(size, 1e-6)
+        point_colors = np.roll((40 + 200 * norm).astype(np.uint8), i, axis=1)
 
-    mins = model_points.min(axis=0)
-    models_info = {
-        object_id: {
+        # write the PLY model (ascii)
+        ply_path = os.path.join(model_dir, f"obj_{oid:02d}.ply")
+        with open(ply_path, "w") as f:
+            f.write("ply\nformat ascii 1.0\n")
+            f.write(f"element vertex {len(model_points)}\n")
+            f.write("property float x\nproperty float y\nproperty float z\nend_header\n")
+            for p in model_points:
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+
+        mins = model_points.min(axis=0)
+        models_info[oid] = {
             "diameter": diameter,
             "min_x": float(mins[0]), "min_y": float(mins[1]), "min_z": float(mins[2]),
             "size_x": float(size[0]), "size_y": float(size[1]), "size_z": float(size[2]),
         }
-    }
+
+        # the drill tip: the extreme +z point of the model (homogeneous)
+        tip = model_points[np.argmax(model_points[:, 2])]
+        scene_objects.append({
+            "oid": oid,
+            "points": model_points,
+            "colors": point_colors,
+            "mask_value": mask_values[i],
+            "tip": [float(tip[0]), float(tip[1]), float(tip[2]), 1.0],
+        })
+
     with open(os.path.join(model_dir, "models_info.yml"), "w") as f:
         yaml.safe_dump(models_info, f)
-
-    # the drill tip: the extreme +z point of the model (homogeneous)
-    tip = model_points[np.argmax(model_points[:, 2])]
-    drill_tip_transform = [float(tip[0]), float(tip[1]), float(tip[2]), 1.0]
+    if num_objects > 1:
+        with open(os.path.join(obj_dir, "mask_values.yml"), "w") as f:
+            yaml.safe_dump({o["oid"]: int(o["mask_value"]) for o in scene_objects}, f)
 
     gt, info = {}, {}
     for frame in range(num_frames):
-        rotvec = rng.normal(size=3)
-        rotvec = rotvec / np.linalg.norm(rotvec) * rng.uniform(0.0, np.pi * 0.9)
-        rot_mat = np_axis_angle_to_matrix(rotvec)
-        trans = np.array([
-            rng.uniform(-60, 60), rng.uniform(-60, 60), rng.uniform(400, 700),
-        ])
+        poses = []
+        for i, obj in enumerate(scene_objects):
+            rotvec = rng.normal(size=3)
+            rotvec = rotvec / np.linalg.norm(rotvec) * rng.uniform(0.0, np.pi * 0.9)
+            if num_objects == 1:
+                tx = rng.uniform(-60, 60)
+            else:
+                # one lateral slot per object so nobody is fully occluded
+                span = 180.0 / num_objects
+                tx = rng.uniform(-90 + i * span + 8, -90 + (i + 1) * span - 8)
+            trans = np.array([tx, rng.uniform(-60, 60), rng.uniform(400, 700)])
+            poses.append((obj, rotvec, np_axis_angle_to_matrix(rotvec), trans))
 
         image = rng.randint(20, 80, size=(h, w, 3)).astype(np.uint8)
         mask = np.zeros((h, w), np.uint8)
-        uv, z = _project(model_points, rot_mat, trans, cam_k)
-        _splat(image, mask, uv, z, point_colors)
+        # painter's algorithm at object granularity: far objects first, so a
+        # nearer object overwrites both pixels AND mask values where it wins
+        for obj, _, rot_mat, trans in sorted(poses, key=lambda p: -p[3][2]):
+            uv, z = _project(obj["points"], rot_mat, trans, cam_k)
+            _splat(image, mask, uv, z, obj["colors"], mask_value=obj["mask_value"])
+        # the hand attaches to the FIRST object's pose (one hand per frame,
+        # reference layout); its depth arms are grounded on that object
+        trans = poses[0][3]
 
         # synthetic hand: a 21-joint ARTICULATED skeleton near the object, in
         # METERS — the real dataset's hands/*.npy are meters (the reference
@@ -281,12 +329,13 @@ def generate_synthetic_colibri(
 
         gt[frame] = [
             {
-                "cam_R_m2c": [float(x) for x in rot_mat.reshape(-1)],
-                "cam_t_m2c": [float(x) for x in trans],
+                "cam_R_m2c": [float(x) for x in rmat.reshape(-1)],
+                "cam_t_m2c": [float(x) for x in tr],
                 "obj_bb": [0, 0, 1, 1],  # unused; bbox comes from the mask
-                "obj_id": object_id,
-                "drill_tip_transform": drill_tip_transform,
+                "obj_id": obj["oid"],
+                "drill_tip_transform": obj["tip"],
             }
+            for obj, _, rmat, tr in poses
         ]
         info[frame] = {"cam_K": [float(x) for x in cam_k.reshape(-1)], "depth_scale": 1.0}
 

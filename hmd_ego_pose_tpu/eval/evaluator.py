@@ -328,8 +328,17 @@ def evaluate_model(
                     # ADD-S is deferred: all true-positive pose pairs run as
                     # ONE batched device program per class (M.add_s_batch)
                     acc.tp_poses.append((r_gt, t_gt, r_pred, t_pred))
+                    # the tip offset is per-OBJECT data (colibri.py:569-572):
+                    # take the matched annotation row's tip when the dataset
+                    # provides per-row tips (== the frame's single tip for
+                    # K=1 datasets, which may only expose the protocol call)
+                    tips = np.asarray(
+                        anno["drill_tip_transform"]
+                        if "drill_tip_transform" in anno
+                        else dataset.load_drill_tip_offset(i)
+                    ).reshape(-1, 4)
                     ok_5cm, t_dist, r_dist, tip_dist = M.check_5cm_5degree(
-                        r_gt, t_gt, r_pred, t_pred, dataset.load_drill_tip_offset(i)
+                        r_gt, t_gt, r_pred, t_pred, tips[min(ja, tips.shape[0] - 1)]
                     )
                     ok_2d = M.check_2d_reprojection(
                         acc.model_points, r_gt, t_gt, r_pred, t_pred, cam_k,
