@@ -75,6 +75,7 @@ def filter_detections(
     iou_threshold: float = 0.5,
     max_detections: int = 100,
     nms: bool = True,
+    class_specific: bool = True,
 ) -> Detections:
     """Single-image detection filter (score threshold + NMS + top-K + pad).
 
@@ -82,20 +83,33 @@ def filter_detections(
         boxes: (N, 4) decoded, clipped boxes.
         classification: (N, C) sigmoid scores.
         rotation: (N, 3); translation: (N, 3); hand: (N, 63).
+        class_specific: NMS each class independently, then merge by score —
+            the reference's ``class_specific_filter=True`` default
+            (layers.py:347-362): a detection never suppresses one of ANOTHER
+            class.  False takes the best-scoring class per anchor and runs
+            one class-agnostic NMS (layers.py:364-374).
     Returns:
         Detections padded to ``max_detections`` with -1 (layers.py:376-392).
 
-    For the single-class case (the only one exercised by the reference data)
-    per-class filtering and best-class filtering coincide; multi-class inputs
-    take the best-scoring class per anchor, which matches the reference's
-    ``class_specific_filter`` output for non-overlapping classes.
+    For C == 1 the two modes are identical and share one code path (the
+    single-class program is byte-stable for the deployed colibri config).
     """
     num_classes = classification.shape[-1]
+    k = max_detections
+
+    if num_classes > 1 and class_specific:
+        return _filter_detections_per_class(
+            boxes, classification, rotation, translation, hand,
+            score_threshold, iou_threshold, k, nms,
+        )
+
     scores = jnp.max(classification, axis=-1)  # (N,)
     labels = jnp.argmax(classification, axis=-1).astype(jnp.int32)
 
-    k = max_detections
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    # candidate pool size: anchors number ~12k >> k in deployment, where this
+    # is exactly k (byte-stable program); tiny toy inputs clamp + pad
+    kc = min(k, boxes.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, kc)
     valid = top_scores > score_threshold
     top_boxes = boxes[top_idx]
 
@@ -111,20 +125,83 @@ def filter_detections(
 
     num_valid = jnp.sum(keep.astype(jnp.int32))
 
+    def fullpad(arr, fill):  # (kc, ...) -> (k, ...)
+        if kc == k:
+            return arr
+        widths = [(0, k - kc)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, widths, constant_values=fill)
+
     def pad(x, fill=-1.0):
         gathered = x[src]
-        mask_shape = (k,) + (1,) * (gathered.ndim - 1)
-        return jnp.where(kept.reshape(mask_shape), gathered, fill)
+        mask_shape = (kc,) + (1,) * (gathered.ndim - 1)
+        return fullpad(jnp.where(kept.reshape(mask_shape), gathered, fill), fill)
 
-    out_labels = jnp.where(kept, labels[src], -1).astype(jnp.int32)
+    out_labels = fullpad(jnp.where(kept, labels[src], -1), -1).astype(jnp.int32)
     return Detections(
         boxes=pad(boxes),
-        scores=jnp.where(kept, top_scores[order], -1.0),
+        scores=fullpad(jnp.where(kept, top_scores[order], -1.0), -1.0),
         labels=out_labels,
         rotation=pad(rotation),
         translation=pad(translation),
         hand=pad(hand),
         num_valid=num_valid,
+    )
+
+
+def _filter_detections_per_class(
+    boxes, classification, rotation, translation, hand,
+    score_threshold, iou_threshold, k, nms,
+) -> Detections:
+    """Per-class NMS (vmapped over C), merged by score into one top-K list.
+
+    Static-shape equivalent of the reference's per-class python loop
+    (layers.py:347-362): each class thresholds + NMS's its own top-k
+    candidates against ONLY its own detections; the C*k survivors are then
+    merged score-descending and cut to ``k``.
+    """
+
+    kc = min(k, boxes.shape[0])  # per-class candidate pool size
+
+    def one_class(c_scores):
+        top_s, top_i = jax.lax.top_k(c_scores, kc)
+        valid = top_s > score_threshold
+        if nms:
+            keep = greedy_nms_mask(boxes[top_i], top_s, valid, iou_threshold)
+        else:
+            keep = valid
+        return top_s, top_i, keep
+
+    # (C, kc) each
+    top_s, top_i, keep = jax.vmap(one_class)(classification.T)
+    c = classification.shape[-1]
+    flat_scores = jnp.where(keep, top_s, -1.0).reshape(c * kc)
+    flat_idx = top_i.reshape(c * kc)
+    flat_labels = jnp.repeat(jnp.arange(c, dtype=jnp.int32), kc)
+
+    k2 = min(k, c * kc)
+    merged_scores, sel = jax.lax.top_k(flat_scores, k2)  # score-descending
+    kept = merged_scores > score_threshold
+    src = flat_idx[sel]
+
+    def fullpad(arr, fill):  # (k2, ...) -> (k, ...)
+        if k2 == k:
+            return arr
+        widths = [(0, k - k2)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, widths, constant_values=fill)
+
+    def pad(x, fill=-1.0):
+        gathered = x[src]
+        mask_shape = (k2,) + (1,) * (gathered.ndim - 1)
+        return fullpad(jnp.where(kept.reshape(mask_shape), gathered, fill), fill)
+
+    return Detections(
+        boxes=pad(boxes),
+        scores=fullpad(jnp.where(kept, merged_scores, -1.0), -1.0),
+        labels=fullpad(jnp.where(kept, flat_labels[sel], -1), -1).astype(jnp.int32),
+        rotation=pad(rotation),
+        translation=pad(translation),
+        hand=pad(hand),
+        num_valid=jnp.sum(kept.astype(jnp.int32)),
     )
 
 
@@ -138,6 +215,7 @@ def filter_detections_batch(
     iou_threshold: float = 0.5,
     max_detections: int = 100,
     nms: bool = True,
+    class_specific: bool = True,
 ) -> Detections:
     """vmapped batch variant: all inputs carry a leading batch dimension."""
     fn = lambda b, c, r, t, h: filter_detections(
@@ -146,5 +224,6 @@ def filter_detections_batch(
         iou_threshold=iou_threshold,
         max_detections=max_detections,
         nms=nms,
+        class_specific=class_specific,
     )
     return jax.vmap(fn)(boxes, classification, rotation, translation, hand)

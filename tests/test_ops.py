@@ -169,3 +169,80 @@ def test_project_points_pinhole():
     trans = np.array([0.0, 0.0, 1000.0])
     uv = np.asarray(project_points(jnp.asarray(pts), jnp.asarray(rot), jnp.asarray(trans), jnp.asarray(cam)))
     np.testing.assert_allclose(uv[0], [325.2611, 242.04899], atol=1e-4)
+
+
+def test_filter_detections_per_class_no_cross_suppression():
+    """Reference class_specific_filter=True semantics (layers.py:347-362): a
+    detection never suppresses one of ANOTHER class, even at IoU 1.0."""
+    box = np.array([10.0, 10.0, 50.0, 50.0])
+    boxes = np.stack([box, box])  # identical boxes
+    classification = np.array([[0.9, 0.0], [0.0, 0.8]])  # different classes
+    aux = np.zeros((2, 3)), np.zeros((2, 3)), np.zeros((2, 63))
+
+    det = filter_detections(
+        jnp.asarray(boxes), jnp.asarray(classification),
+        *(jnp.asarray(a) for a in aux),
+        score_threshold=0.3, iou_threshold=0.5, max_detections=8,
+    )
+    assert int(det.num_valid) == 2
+    np.testing.assert_allclose(np.asarray(det.scores)[:2], [0.9, 0.8])
+    np.testing.assert_array_equal(np.asarray(det.labels)[:2], [0, 1])
+
+    # same class instead: the lower-scoring twin is suppressed
+    same = np.array([[0.9, 0.0], [0.8, 0.0]])
+    det1 = filter_detections(
+        jnp.asarray(boxes), jnp.asarray(same),
+        *(jnp.asarray(a) for a in aux),
+        score_threshold=0.3, iou_threshold=0.5, max_detections=8,
+    )
+    assert int(det1.num_valid) == 1
+    assert np.asarray(det1.labels)[0] == 0
+
+    # class_specific=False: best-class-per-anchor + one agnostic NMS
+    det2 = filter_detections(
+        jnp.asarray(boxes), jnp.asarray(classification),
+        *(jnp.asarray(a) for a in aux),
+        score_threshold=0.3, iou_threshold=0.5, max_detections=8,
+        class_specific=False,
+    )
+    assert int(det2.num_valid) == 1
+
+
+def test_filter_detections_per_class_matches_naive():
+    """Random 2-class candidates: per-class naive NMS merged by score."""
+    rng = np.random.RandomState(7)
+    n, max_det = 64, 16
+    boxes = rng.uniform(0, 200, size=(n, 4))
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(4, 50, size=(n, 2))
+    classification = rng.uniform(0, 1, size=(n, 2))
+    rotation = rng.normal(size=(n, 3))
+    translation = rng.normal(size=(n, 3))
+    hand = rng.normal(size=(n, 63))
+
+    det = filter_detections(
+        jnp.asarray(boxes), jnp.asarray(classification),
+        jnp.asarray(rotation), jnp.asarray(translation), jnp.asarray(hand),
+        score_threshold=0.3, iou_threshold=0.5, max_detections=max_det,
+    )
+
+    naive = []  # (score, anchor, class)
+    for c in range(2):
+        # per-class candidate pool is that class's top-max_det anchors
+        # (static-shape equivalent of considering all above-threshold ones)
+        for i in _naive_greedy_nms(boxes, classification[:, c], 0.3, 0.5, max_det):
+            naive.append((classification[i, c], i, c))
+    naive.sort(key=lambda t: -t[0])
+    naive = naive[:max_det]
+
+    nv = int(det.num_valid)
+    assert nv == len(naive)
+    np.testing.assert_allclose(
+        np.asarray(det.scores)[:nv], [t[0] for t in naive], rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(det.labels)[:nv], [t[2] for t in naive])
+    np.testing.assert_allclose(
+        np.asarray(det.boxes)[:nv], boxes[[t[1] for t in naive]], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(det.rotation)[:nv], rotation[[t[1] for t in naive]], rtol=1e-6
+    )
