@@ -208,13 +208,15 @@ def cmd_debug(args):
         image = ds.load_image(i)
         anno = ds.load_annotations(i)
         cam = ds.load_camera_matrix(i)
-        out = render_frame(
-            image, cam,
-            model_info=ds.model_info,
-            gt_pose=(anno["rotations"][0, :3], anno["translations"][0]),
-            gt_box=anno["bboxes"][0],
-            hand_3d=anno["coords_3d"][0],
-        )
+        out = image
+        for r in range(anno["labels"].shape[0]):  # every object of the frame
+            out = render_frame(
+                out, cam,
+                model_info=ds.models_info[int(anno["labels"][r])],
+                gt_pose=(anno["rotations"][r, :3], anno["translations"][r]),
+                gt_box=anno["bboxes"][r],
+                hand_3d=anno["coords_3d"][r] if r == 0 else None,
+            )
         imwrite(os.path.join(args.out_dir, f"debug_{i:06d}.png"), out)
     print(f"wrote {n} overlays to {args.out_dir}")
 
