@@ -364,9 +364,11 @@ def evaluate_model(
                         from hmd_ego_pose_tpu.utils.samplevis import draw_samplevis
                         from hmd_ego_pose_tpu.utils.visualization import render_frame
 
+                        all_infos = getattr(dataset, "models_info", None)
                         overlay = render_frame(
                             raw, cam_k,
-                            model_info=getattr(dataset, "model_info", None),
+                            model_info=(all_infos[c] if all_infos is not None
+                                        else getattr(dataset, "model_info", None)),
                             gt_pose=(anno["rotations"][ja, :3], t_gt),
                             pred_pose=(rotations[d], t_pred),
                             gt_box=gt_boxes[j],
