@@ -124,6 +124,12 @@ def cmd_evaluate(args):
     result = evaluate_model(
         ds, predict_fn, params, bn_state, cfg, save_path=args.save_images_path
     )
+    if result.per_class and len(result.per_class) > 1:
+        for c, r in sorted(result.per_class.items()):
+            name = ds.class_to_name.get(c, str(c))
+            print(f"--- class {c} ({name}) ---")
+            print(format_report(r))
+        print("--- class mean ---")
     print(format_report(result))
     print(json.dumps(result.scalars(), indent=2))
 
