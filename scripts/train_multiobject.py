@@ -73,13 +73,23 @@ def main():
 
     history = os.path.join(args.workdir, "history.jsonl")
 
-    def on_epoch(epoch, metrics):
+    def on_epoch(epoch, metrics, eval_result=None):
         row = {"epoch": epoch, "t": time.time(), **metrics}
         with open(history, "a") as f:
             f.write(json.dumps(row) + "\n")
 
+    params = bn_state = None
+    epochs_done = 0
+    last = os.path.join(cfg.train.checkpoint_dir, "last.npz")
+    if os.path.isfile(last):
+        from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
+
+        params, bn_state, meta = restore_checkpoint(last)
+        epochs_done = int(meta.get("epoch", -1)) + 1
+        print(f"restored {last} (epoch {meta.get('epoch')})")
+
     trainer = Trainer(
-        cfg, train_ds, val_ds,
+        cfg, train_ds, val_ds, params=params, bn_state=bn_state,
         logger=MetricLogger(log_dir=os.path.join(args.workdir, "runs")),
     )
 
@@ -113,7 +123,7 @@ def main():
 
     trainer_mod.evaluate_model = eval_with_per_class
 
-    best = trainer.fit(epochs=args.epochs, on_epoch_end=on_epoch)
+    best = trainer.fit(epochs=args.epochs - epochs_done, on_epoch_end=on_epoch)
     print(f"best checkpoint: {best}")
 
 
