@@ -35,6 +35,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # persistent compile cache: a resume otherwise pays the full ~12-min
+        # epoch-program recompile on this 1-core host.  CPU only — relay-TPU
+        # sessions run cache-LOADED executables ~30x slower (BENCH_NOTES.md)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu_tests")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     from hmd_ego_pose_tpu.config import (
         Config, DataConfig, EvalConfig, ModelConfig, TrainConfig,
