@@ -90,6 +90,28 @@ def _compute_losses(
     return bundle.total, (bundle, new_bn)
 
 
+def effective_loss_config(config: Config) -> LossConfig:
+    """Resolve the per-run LossConfig: the positive-anchor cap is PER OBJECT.
+
+    ``LossConfig.max_positive_anchors`` is sized for one object (measured
+    single-object worst case 44/46 positives at 256/512 px, pinned by
+    tests/test_losses.py); a K-object scene can legitimately have K times as
+    many positives (measured 62 at K=2 / 128 px before any scale-up warp),
+    and a saturated cap silently DROPS positives from the transformation
+    loss.  Scale the cap by ``data.max_objects`` so multi-object datasets
+    keep the slice exact without every caller remembering to resize it.
+    """
+    k = max(1, int(config.data.max_objects))
+    loss = config.train.loss
+    if k == 1:
+        return loss
+    import dataclasses
+
+    return dataclasses.replace(
+        loss, max_positive_anchors=loss.max_positive_anchors * k
+    )
+
+
 def make_train_step(
     config: Config,
     model_points,
@@ -133,7 +155,8 @@ def make_train_step(
             )
     else:
         _constrain = lambda tree: tree
-    model_cfg, train_cfg, loss_cfg = config.model, config.train, config.train.loss
+    model_cfg, train_cfg = config.model, config.train
+    loss_cfg = effective_loss_config(config)
     # keep as a host-side numpy constant: it embeds into the lowered program
     # without a device->host read at trace time
     import numpy as np

@@ -330,6 +330,26 @@ def test_positive_anchor_cap_covers_worst_case():
     assert worst >= 30, "sweep looks degenerate — did target assignment change?"
 
 
+def test_positive_anchor_cap_scales_with_max_objects():
+    """A K-object scene can carry K x the single-object positive count
+    (measured 62 positives at K=2 / 128 px before any scale-up warp), so the
+    train step must size the transformation-loss slice PER OBJECT — a
+    saturated cap silently drops positives."""
+    from hmd_ego_pose_tpu.config import Config, DataConfig
+    from hmd_ego_pose_tpu.train.step import effective_loss_config
+
+    base = Config()
+    assert effective_loss_config(base).max_positive_anchors == \
+        base.train.loss.max_positive_anchors
+
+    multi = Config(data=DataConfig(max_objects=3))
+    assert effective_loss_config(multi).max_positive_anchors == \
+        3 * base.train.loss.max_positive_anchors
+    # everything else untouched
+    assert effective_loss_config(multi).rotation_weight == \
+        base.train.loss.rotation_weight
+
+
 def test_transformation_loss_exact_vs_uncapped():
     """With a cap large enough, the sliced loss equals a full dynamic-gather
     numpy re-derivation over ALL positives."""
