@@ -42,9 +42,10 @@ def run_shift(args):
     from hmd_ego_pose_tpu.utils.logging import MetricLogger
 
     ckpt_dir = os.path.join(args.workdir, "ckpt")
+    k = args.num_objects
     cfg = Config(
         model=ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16",
-                          remat_backbone=args.remat),
+                          remat_backbone=args.remat, num_classes=k),
         train=TrainConfig(
             batch_size=args.batch_size,
             learning_rate=args.lr,
@@ -55,12 +56,13 @@ def run_shift(args):
             eval_every=args.shift_epochs,
             loss=LossConfig(hand_weight=args.hand_weight),
         ),
-        data=DataConfig(dataset="syn_colibri"),
+        data=DataConfig(dataset="syn_colibri", max_objects=k),
         eval=EvalConfig(score_threshold=0.1),
     )
     root = os.path.join(args.workdir, "data")
-    train_ds = ColibriDataset(root, fold=0, partition="train")
-    val_ds = ColibriDataset(root, fold=0, partition="val")
+    object_ids = list(range(1, k + 1)) if k > 1 else None
+    train_ds = ColibriDataset(root, fold=0, partition="train", object_ids=object_ids)
+    val_ds = ColibriDataset(root, fold=0, partition="val", object_ids=object_ids)
 
     params = bn_state = opt_leaves = None
     start_step = 0
@@ -101,6 +103,10 @@ def run_shift(args):
         result = evaluate_model(val_ds, predict_fn, params, bn_state, cfg)
         results.update(train={}, eval=result.scalars(), skipped_training=True,
                        shift_seconds=0.0, epochs_done=epochs_done)
+        if result.per_class:
+            results["per_class"] = {
+                str(c): r.scalars() for c, r in result.per_class.items()
+            }
         results["steps_per_epoch"] = int(
             len(train_ds) * cfg.train.oversample // cfg.train.batch_size
         )
@@ -111,6 +117,10 @@ def run_shift(args):
     def on_epoch(epoch, train_metrics, eval_result):
         results["train"] = train_metrics
         results["eval"] = eval_result.scalars()
+        if eval_result.per_class:
+            results["per_class"] = {
+                str(c): r.scalars() for c, r in eval_result.per_class.items()
+            }
         # cumulative-epoch sidecar, written right after Trainer saved
         # last.npz: a timeout-kill between checkpoint and sidecar has a
         # milliseconds window instead of the whole eval+exit tail
@@ -182,6 +192,10 @@ def main():
     ap.add_argument("--hand-weight", type=float, default=1.0,
                     help="hand-loss weight (reference default 1.0, "
                          "train.py:67); recipe lever for hand-learning runs")
+    ap.add_argument("--num-objects", type=int, default=1,
+                    help="K-object synthetic scene (beyond the reference's "
+                         "K=1 colibri): num_classes=K model, per-class eval "
+                         "breakdown appended to history.jsonl")
     ap.add_argument("--shift-timeout", type=float, default=3600.0,
                     help="kill + retry a shift after this many seconds "
                          "(relay sessions can wedge on a lost RPC)")
@@ -202,8 +216,11 @@ def main():
 
         # 256^2 frames: image_scale = 1, the geometry of the real colibri
         # camera (camera_params.txt px=py=128 -> 256-px frames)
-        generate_synthetic_colibri(root, num_frames=args.num_frames, image_size=(256, 256))
-        print(f"generated {args.num_frames}-frame synthetic dataset at {root}")
+        generate_synthetic_colibri(root, num_frames=args.num_frames,
+                                   image_size=(256, 256),
+                                   num_objects=args.num_objects)
+        print(f"generated {args.num_frames}-frame "
+              f"{args.num_objects}-object synthetic dataset at {root}")
 
     from hmd_ego_pose_tpu.train.plateau import ReduceLROnPlateau
 
@@ -226,6 +243,7 @@ def main():
             "--batch-size", str(args.batch_size),
             "--lr", str(lr),
             "--hand-weight", str(args.hand_weight),
+            "--num-objects", str(args.num_objects),
         ]
         if args.remat:
             cmd.append("--remat")
