@@ -8,6 +8,11 @@ fall), not just composes — results recorded in TRAIN_SYNTHETIC.md.
 
 CPU-friendly defaults (the demo also runs on the TPU when the relay is up):
     python scripts/train_multiobject.py --workdir /tmp/multi_demo --epochs 96
+
+NOTE: the definitive K=2 validation vehicle is `train_long --num-objects 2`
+(256 px, batch 16, cosine shifts, TPU) — this CPU demo's 128 px / 12-frame
+regime under-trains rotation by construction (see TRAIN_SYNTHETIC.md
+"Multi-object (K=2) training validation").
 """
 
 import argparse
