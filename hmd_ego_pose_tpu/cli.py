@@ -80,6 +80,7 @@ def cmd_train(args):
         fine_tune=args.fine_tune,
         freeze_backbone=args.freeze_backbone,
         eval_every=args.eval_every,
+        clip_grad_norm=args.clip_grad_norm,
     )
     ids = _object_ids(args)
     train_ds = ColibriDataset(args.dataset_path, args.fold, args.object_id,
@@ -355,6 +356,10 @@ def main(argv=None):
                    help="validate/checkpoint every N epochs (relay-attached TPUs: see BENCH_NOTES.md)")
     p.add_argument("--freeze-backbone", action="store_true", default=True)
     p.add_argument("--no-freeze-backbone", dest="freeze_backbone", action="store_false")
+    p.add_argument("--clip-grad-norm", type=float, default=0.0,
+                   help="global-norm gradient clip before the optimizer "
+                        "(0 = off, the reference default: its clip_grad_norm_ "
+                        "is commented out, train.py:210)")
     p.add_argument("--ckpt", default=None)
     p.set_defaults(func=cmd_train)
 

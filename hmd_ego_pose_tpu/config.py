@@ -195,6 +195,11 @@ class TrainConfig:
     epochs: int = 50
     fine_tune: bool = False  # False: Adam, True: SGD+Nesterov (train.py:99-104)
     sgd_momentum: float = 0.9
+    # global-norm gradient clipping BEFORE the optimizer; 0 disables.  The
+    # reference ships it commented out (train.py:210, clip_grad_norm_ 0.001
+    # — the Keras EfficientPose lineage's clipnorm), so parity default is
+    # OFF; recipe lever for rotation-loss oscillation on small datasets.
+    clip_grad_norm: float = 0.0
     # ReduceLROnPlateau equivalents (train.py:107-109)
     plateau_factor: float = 0.5
     plateau_patience: int = 15

@@ -37,6 +37,14 @@ def make_optimizer(config: TrainConfig, params) -> optax.GradientTransformation:
     else:
         inner = optax.inject_hyperparams(optax.adam)(learning_rate=config.learning_rate)
 
+    if config.clip_grad_norm and config.clip_grad_norm > 0:
+        # clip the RAW gradients, then step (the reference's commented-out
+        # torch.nn.utils.clip_grad_norm_ placement, train.py:210).  The clip
+        # state is optax.EmptyState — checkpointed opt leaves are unchanged.
+        inner = optax.chain(
+            optax.clip_by_global_norm(config.clip_grad_norm), inner
+        )
+
     if not config.freeze_backbone:
         return inner
 
@@ -56,12 +64,19 @@ def create_train_state(params, bn_state, config: TrainConfig) -> TrainState:
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, bn_state=bn_state, opt_state=opt_state)
 
 
-def get_learning_rate(state: TrainState, config: TrainConfig) -> float:
-    """Read the current injected learning rate out of the optimizer state."""
-    opt = state.opt_state
+def _lr_opt_state(opt, config: TrainConfig):
+    """Navigate to the inject_hyperparams state through the optional
+    multi_transform (freeze_backbone) and chain (clip_grad_norm) wrappers."""
     if config.freeze_backbone:
         opt = opt.inner_states["train"].inner_state
-    return float(opt.hyperparams["learning_rate"])
+    if config.clip_grad_norm and config.clip_grad_norm > 0:
+        opt = opt[1]  # (clip EmptyState, injected state)
+    return opt
+
+
+def get_learning_rate(state: TrainState, config: TrainConfig) -> float:
+    """Read the current injected learning rate out of the optimizer state."""
+    return float(_lr_opt_state(state.opt_state, config).hyperparams["learning_rate"])
 
 
 def set_learning_rate(state: TrainState, config: TrainConfig, lr: float) -> TrainState:
@@ -69,6 +84,12 @@ def set_learning_rate(state: TrainState, config: TrainConfig, lr: float) -> Trai
     import jax.numpy as jnp
 
     def replace(opt):
+        if config.clip_grad_norm and config.clip_grad_norm > 0:
+            # chain state: (clip EmptyState, injected state, ...)
+            inj = opt[1]
+            hp = dict(inj.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return (opt[0], inj._replace(hyperparams=hp)) + tuple(opt[2:])
         hp = dict(opt.hyperparams)
         hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
         return opt._replace(hyperparams=hp)

@@ -54,6 +54,7 @@ def run_shift(args):
             freeze_backbone=False,
             checkpoint_dir=ckpt_dir,
             eval_every=args.shift_epochs,
+            clip_grad_norm=args.clip_grad_norm,
             loss=LossConfig(hand_weight=args.hand_weight),
         ),
         data=DataConfig(dataset="syn_colibri", max_objects=k),
@@ -192,6 +193,10 @@ def main():
     ap.add_argument("--hand-weight", type=float, default=1.0,
                     help="hand-loss weight (reference default 1.0, "
                          "train.py:67); recipe lever for hand-learning runs")
+    ap.add_argument("--clip-grad-norm", type=float, default=0.0,
+                    help="global-norm gradient clip (0 = off, reference "
+                         "parity); recipe lever for rotation-loss "
+                         "oscillation on small datasets")
     ap.add_argument("--num-objects", type=int, default=1,
                     help="K-object synthetic scene (beyond the reference's "
                          "K=1 colibri): num_classes=K model, per-class eval "
@@ -244,6 +249,7 @@ def main():
             "--lr", str(lr),
             "--hand-weight", str(args.hand_weight),
             "--num-objects", str(args.num_objects),
+            "--clip-grad-norm", str(args.clip_grad_norm),
         ]
         if args.remat:
             cmd.append("--remat")

@@ -128,6 +128,56 @@ def test_learning_rate_injection(model_points):
     assert get_learning_rate(state, cfg.train) == pytest.approx(5e-4)
 
 
+def test_clip_grad_norm_optimizer():
+    """TrainConfig.clip_grad_norm chains a global-norm clip before the
+    optimizer (the reference's commented-out clip_grad_norm_, train.py:210);
+    lr injection must still navigate the wrapped state."""
+    import optax
+
+    from hmd_ego_pose_tpu.train.state import create_train_state, make_optimizer
+
+    params = {"w": jnp.asarray([3.0, -4.0]), "b": jnp.asarray([0.5])}
+    grads = {"w": jnp.asarray([300.0, -400.0]), "b": jnp.asarray([0.0])}
+
+    for freeze in (False, True):
+        p = {"backbone": params, "head": params} if freeze else params
+        g = {"backbone": grads, "head": grads} if freeze else grads
+        cfg = TrainConfig(learning_rate=1e-3, clip_grad_norm=0.25,
+                          freeze_backbone=freeze)
+        tx = make_optimizer(cfg, p)
+        opt = tx.init(p)
+        updates, _ = tx.update(g, opt, p)
+
+        # oracle: explicit chain, same structure
+        ref = optax.chain(
+            optax.clip_by_global_norm(0.25),
+            optax.inject_hyperparams(optax.adam)(learning_rate=1e-3),
+        )
+        ref_updates, _ = ref.update(grads, ref.init(params), params)
+        got = updates["head"] if freeze else updates
+        for k in ref_updates:
+            np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref_updates[k]),
+                                       rtol=1e-6)
+        if freeze:
+            assert all(
+                float(np.max(np.abs(np.asarray(v)))) == 0.0
+                for v in jax.tree.leaves(updates["backbone"])
+            )
+
+        # lr get/set through the chain wrapper
+        state = create_train_state(p, {}, cfg)
+        assert get_learning_rate(state, cfg) == pytest.approx(1e-3)
+        state = set_learning_rate(state, cfg, 2e-4)
+        assert get_learning_rate(state, cfg) == pytest.approx(2e-4)
+
+    # checkpointed opt leaf count unchanged by the clip wrapper (EmptyState)
+    base = make_optimizer(TrainConfig(freeze_backbone=False), params).init(params)
+    clipped = make_optimizer(
+        TrainConfig(freeze_backbone=False, clip_grad_norm=0.25), params
+    ).init(params)
+    assert len(jax.tree.leaves(base)) == len(jax.tree.leaves(clipped))
+
+
 def test_plateau_scheduler_matches_torch_semantics():
     sched = ReduceLROnPlateau(1e-3, factor=0.5, patience=2, threshold=1e-4)
     # improving metrics keep lr
