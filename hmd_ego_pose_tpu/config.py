@@ -305,12 +305,21 @@ class ParallelConfig:
     batch is sharded over the ``data`` axis and BatchNorm statistics are
     all-reduced over it.  A ``model`` axis is reserved for sharding head
     channels should a larger phi ever need it.
+
+    The ``space`` axis spatially partitions the image height dimension
+    across chips (GSPMD inserts the conv halo exchanges automatically).
+    This is the batch-1 LATENCY scale-out: the serving workload is one
+    frame at a time (the reference's per-frame loop, Program.cs:128-297),
+    where data parallelism cannot help — with ``spatial_parallel=k`` each
+    chip convolves a 1/k horizontal slab of the same frame.
     """
 
     data_axis: str = "data"
     model_axis: str = "model"
-    data_parallel: int = -1  # -1: use all devices
+    spatial_axis: str = "space"
+    data_parallel: int = -1  # -1: use all remaining devices
     model_parallel: int = 1
+    spatial_parallel: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

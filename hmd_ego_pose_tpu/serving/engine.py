@@ -116,13 +116,19 @@ class InferenceEngine:
         self.frame_shape = frame_shape
         self.mesh = mesh
         if mesh is not None:
-            from hmd_ego_pose_tpu.parallel.mesh import batch_sharding, replicated_sharding
+            from hmd_ego_pose_tpu.parallel.mesh import (
+                batch_sharding, image_sharding, replicated_sharding,
+            )
 
-            self._frame_sharding = batch_sharding(mesh)
+            # frames: batch over 'data', image HEIGHT over 'space' — a
+            # spatial mesh lets k chips cooperate on ONE frame (batch-1
+            # latency scale-out); cameras only carry a batch dim
+            self._frame_sharding = image_sharding(mesh)
+            self._camera_sharding = batch_sharding(mesh)
             params = jax.device_put(params, replicated_sharding(mesh))
             bn_state = jax.device_put(bn_state, replicated_sharding(mesh))
         else:
-            self._frame_sharding = None
+            self._frame_sharding = self._camera_sharding = None
         self.params = params
         self.bn_state = bn_state
         self._default_camera_override = (
@@ -209,7 +215,7 @@ class InferenceEngine:
             cams = self._jnp.asarray(np.tile(self._default_camera()[None], (b, 1)))
             if self._frame_sharding is not None:
                 frames = jax.device_put(frames, self._frame_sharding)
-                cams = jax.device_put(cams, self._frame_sharding)
+                cams = jax.device_put(cams, self._camera_sharding)
             pre_exec = self._preprocess.lower(frames).compile()
             images = pre_exec(frames)
             core_exec = self._predict_core.lower(
@@ -284,7 +290,7 @@ class InferenceEngine:
         cams = self._jnp.asarray(cameras)
         if self._frame_sharding is not None:
             frames = jax.device_put(frames, self._frame_sharding)
-            cams = jax.device_put(cams, self._frame_sharding)
+            cams = jax.device_put(cams, self._camera_sharding)
         return self._predict_aot(frames, cams)
 
     def _dispatch_loop(self):
