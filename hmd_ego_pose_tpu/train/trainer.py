@@ -284,7 +284,13 @@ class Trainer:
                 means, n = self._dispatch_scan(idxs, rng_key, self._device_data)
             # values stay DEVICE scalars: fit() floats them only at eval
             # epochs (the first fetch permanently degrades a relay session)
-            means["epoch_seconds"] = time.time() - t0
+            #
+            # dispatch_seconds, NOT epoch_seconds: under async dispatch this
+            # measures host-side dispatch of the epoch program, not device
+            # execution (block_until_ready acks dispatch on the relay —
+            # BENCH_NOTES.md).  True wall time per shift is recorded by the
+            # train_long wrapper (wall_seconds in history.jsonl).
+            means["dispatch_seconds"] = time.time() - t0
             means["steps"] = n
             self._steps_done += n
             return means
@@ -305,7 +311,10 @@ class Trainer:
 
             for k in collected[0]:
                 means[k] = float(jnp.mean(jnp.stack([m[k] for m in collected])))
-        means["epoch_seconds"] = time.time() - t0
+        # host-pipeline epochs are paced by the host input pipeline, so this
+        # IS a meaningful wall time — but keep the same honest name as the
+        # scan path (the final value still excludes un-fetched device work)
+        means["dispatch_seconds"] = time.time() - t0
         means["steps"] = n
         self._steps_done += n
         return means
