@@ -26,7 +26,11 @@ from hmd_ego_pose_tpu.ops.decode import (
     clip_boxes,
     decode_translation,
 )
-from hmd_ego_pose_tpu.ops.nms import Detections, filter_detections_batch
+from hmd_ego_pose_tpu.ops.nms import (
+    Detections,
+    filter_detections_batch,
+    filter_detections_fused_batch,
+)
 
 
 class RawOutputs(NamedTuple):
@@ -261,19 +265,34 @@ def predict(
     iou_threshold: float = 0.5,
     max_detections: int = 100,
 ) -> Detections:
-    """Fused: forward -> decode -> filter.  One XLA program, HBM-resident.
+    """Fused: forward -> top-k -> decode -> filter.  One XLA program,
+    HBM-resident.
 
     Returns batch Detections; ``rotation`` is still in the network's
     normalized units (multiply by pi for radians, eval/common.py:466).
+
+    The anchor decode runs AFTER candidate selection (ops/nms.py
+    filter_detections_fused): only the top-k anchors' boxes/translations are
+    decoded, so the (B, N, 4)+(B, N, 3) full decoded tensors are never
+    written to HBM.  Bit-identical to decode_outputs -> filter_detections
+    (the decode is elementwise per anchor; pinned by
+    tests/test_ops.py::test_fused_filter_matches_legacy).
     """
     outputs, _ = apply(params, state, images, config, training=False)
-    boxes, translation = decode_outputs(outputs, camera_parameters, config)
-    return filter_detections_batch(
-        boxes,
+    anchors_np, trans_anchors_np = anchors_for_shape(
+        (config.image_size, config.image_size), config.anchors
+    )
+    return filter_detections_fused_batch(
+        outputs.regression,
         outputs.classification,
         outputs.rotation,
-        translation,
+        outputs.translation_raw,
         outputs.hand,
+        jnp.asarray(anchors_np),
+        jnp.asarray(trans_anchors_np),
+        camera_parameters,
+        config.image_size,
+        config.image_size,
         score_threshold=score_threshold,
         iou_threshold=iou_threshold,
         max_detections=max_detections,

@@ -205,6 +205,175 @@ def _filter_detections_per_class(
     )
 
 
+def filter_detections_fused(
+    regression,
+    classification,
+    rotation,
+    translation_raw,
+    hand,
+    anchors,
+    trans_anchors,
+    camera_parameters,
+    image_height: int,
+    image_width: int,
+    score_threshold: float = 0.01,
+    iou_threshold: float = 0.5,
+    max_detections: int = 100,
+    nms: bool = True,
+    class_specific: bool = True,
+) -> Detections:
+    """Decode-after-top-k detection filter (single image).
+
+    Bit-identical outputs to ``decode everything -> filter_detections``
+    (pinned by tests/test_ops.py::test_fused_filter_matches_legacy), but the
+    box/translation decode runs on only the top-k candidate anchors instead
+    of all ~12k: the (N, 4) decoded/clipped boxes and (N, 3) metric
+    translations are never materialized in HBM — the per-anchor decode math
+    (layers.py:142-257 semantics, ops/decode.py) commutes with the gather
+    because it is elementwise in the anchor dimension.  The predict program
+    is memory-bound (BENCH_NOTES.md roofline), so this is a pure bytes cut.
+
+    Args:
+        regression: (N, 4) raw box deltas; classification: (N, C) sigmoid
+            scores; rotation: (N, 3); translation_raw: (N, 3); hand: (N, 63).
+        anchors: (N, 4) box anchors; trans_anchors: (N, 3) translation
+            anchors (x, y, stride); camera_parameters: (6,) for this image.
+    """
+    from hmd_ego_pose_tpu.ops.decode import (
+        bbox_transform_inv, clip_boxes, decode_translation,
+    )
+
+    num_classes = classification.shape[-1]
+    k = max_detections
+    kc = min(k, regression.shape[0])
+
+    def decode_boxes(idx):
+        b = bbox_transform_inv(anchors[idx], regression[idx])
+        return clip_boxes(b, image_height, image_width)
+
+    def decode_trans(idx):
+        return decode_translation(
+            trans_anchors[idx][None], translation_raw[idx][None],
+            camera_parameters[None],
+        )[0]
+
+    if num_classes > 1 and class_specific:
+        # per-class NMS (layers.py:347-362): each class decodes + suppresses
+        # only its own kc candidates; merge score-descending and cut to k
+        def one_class(c_scores):
+            top_s, top_i = jax.lax.top_k(c_scores, kc)
+            sel_boxes = decode_boxes(top_i)
+            valid = top_s > score_threshold
+            if nms:
+                keep = greedy_nms_mask(sel_boxes, top_s, valid, iou_threshold)
+            else:
+                keep = valid
+            return top_s, top_i, keep, sel_boxes
+
+        top_s, top_i, keep, sel_boxes = jax.vmap(one_class)(classification.T)
+        c = num_classes
+        flat_scores = jnp.where(keep, top_s, -1.0).reshape(c * kc)
+        flat_idx = top_i.reshape(c * kc)
+        flat_boxes = sel_boxes.reshape(c * kc, 4)
+        flat_labels = jnp.repeat(jnp.arange(c, dtype=jnp.int32), kc)
+
+        k2 = min(k, c * kc)
+        merged_scores, sel = jax.lax.top_k(flat_scores, k2)
+        kept = merged_scores > score_threshold
+        src = flat_idx[sel]
+        merged_trans = decode_trans(src)
+
+        def fullpad(arr, fill):  # (k2, ...) -> (k, ...)
+            if k2 == k:
+                return arr
+            widths = [(0, k - k2)] + [(0, 0)] * (arr.ndim - 1)
+            return jnp.pad(arr, widths, constant_values=fill)
+
+        def pad(gathered, fill=-1.0):  # gathered: (k2, ...)
+            mask_shape = (k2,) + (1,) * (gathered.ndim - 1)
+            return fullpad(jnp.where(kept.reshape(mask_shape), gathered, fill), fill)
+
+        return Detections(
+            boxes=pad(flat_boxes[sel]),
+            scores=fullpad(jnp.where(kept, merged_scores, -1.0), -1.0),
+            labels=fullpad(jnp.where(kept, flat_labels[sel], -1), -1).astype(jnp.int32),
+            rotation=pad(rotation[src]),
+            translation=pad(merged_trans),
+            hand=pad(hand[src]),
+            num_valid=jnp.sum(kept.astype(jnp.int32)),
+        )
+
+    scores = jnp.max(classification, axis=-1)
+    labels = jnp.argmax(classification, axis=-1).astype(jnp.int32)
+    top_scores, top_idx = jax.lax.top_k(scores, kc)
+    valid = top_scores > score_threshold
+    top_boxes = decode_boxes(top_idx)
+
+    if nms:
+        keep = greedy_nms_mask(top_boxes, top_scores, valid, iou_threshold)
+    else:
+        keep = valid
+
+    order = jnp.argsort(~keep, stable=True)
+    kept = keep[order]
+    num_valid = jnp.sum(keep.astype(jnp.int32))
+
+    def fullpad(arr, fill):  # (kc, ...) -> (k, ...)
+        if kc == k:
+            return arr
+        widths = [(0, k - kc)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, widths, constant_values=fill)
+
+    def pad(x_sel, fill=-1.0):  # x_sel: (kc, ...) pre-gathered candidates
+        gathered = x_sel[order]
+        mask_shape = (kc,) + (1,) * (gathered.ndim - 1)
+        return fullpad(jnp.where(kept.reshape(mask_shape), gathered, fill), fill)
+
+    return Detections(
+        boxes=pad(top_boxes),
+        scores=fullpad(jnp.where(kept, top_scores[order], -1.0), -1.0),
+        labels=fullpad(jnp.where(kept, labels[top_idx][order], -1), -1).astype(jnp.int32),
+        rotation=pad(rotation[top_idx]),
+        translation=pad(decode_trans(top_idx)),
+        hand=pad(hand[top_idx]),
+        num_valid=num_valid,
+    )
+
+
+def filter_detections_fused_batch(
+    regression,
+    classification,
+    rotation,
+    translation_raw,
+    hand,
+    anchors,
+    trans_anchors,
+    camera_parameters,
+    image_height: int,
+    image_width: int,
+    score_threshold: float = 0.01,
+    iou_threshold: float = 0.5,
+    max_detections: int = 100,
+    nms: bool = True,
+    class_specific: bool = True,
+) -> Detections:
+    """vmapped :func:`filter_detections_fused`: head outputs and
+    ``camera_parameters`` carry a leading batch dim; anchors are shared."""
+    fn = lambda rg, c, r, t, h, cam: filter_detections_fused(
+        rg, c, r, t, h, anchors, trans_anchors, cam,
+        image_height, image_width,
+        score_threshold=score_threshold,
+        iou_threshold=iou_threshold,
+        max_detections=max_detections,
+        nms=nms,
+        class_specific=class_specific,
+    )
+    return jax.vmap(fn)(
+        regression, classification, rotation, translation_raw, hand,
+        camera_parameters,
+    )
+
+
 def filter_detections_batch(
     boxes,
     classification,

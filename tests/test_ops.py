@@ -18,7 +18,17 @@ from hmd_ego_pose_tpu.ops.geometry import (
     rotation_angular_distance,
 )
 from hmd_ego_pose_tpu.ops.iou import iou_matrix, iou_matrix_np
-from hmd_ego_pose_tpu.ops.nms import filter_detections, filter_detections_batch
+from hmd_ego_pose_tpu.ops.decode import (
+    bbox_transform_inv,
+    clip_boxes,
+    decode_translation,
+)
+from hmd_ego_pose_tpu.ops.nms import (
+    filter_detections,
+    filter_detections_batch,
+    filter_detections_fused,
+    filter_detections_fused_batch,
+)
 
 
 def _naive_iou(a, b):
@@ -246,3 +256,89 @@ def test_filter_detections_per_class_matches_naive():
     np.testing.assert_allclose(
         np.asarray(det.rotation)[:nv], rotation[[t[1] for t in naive]], rtol=1e-6
     )
+
+
+def _random_raw_detection_inputs(rng, n, c):
+    """Raw head outputs + anchors shaped like the real predict seam."""
+    anchors = rng.uniform(0, 200, size=(n, 4)).astype(np.float32)
+    anchors[:, 2:] = anchors[:, :2] + rng.uniform(8, 60, size=(n, 2))
+    trans_anchors = np.concatenate(
+        [rng.uniform(0, 256, size=(n, 2)), np.full((n, 1), 8.0)], axis=1
+    ).astype(np.float32)
+    regression = rng.normal(scale=0.3, size=(n, 4)).astype(np.float32)
+    classification = rng.uniform(0, 1, size=(n, c)).astype(np.float32)
+    rotation = rng.normal(size=(n, 3)).astype(np.float32)
+    translation_raw = np.concatenate(
+        [rng.normal(size=(n, 2)), rng.uniform(0.2, 2.0, size=(n, 1))], axis=1
+    ).astype(np.float32)
+    hand = rng.normal(size=(n, 63)).astype(np.float32)
+    cam = np.array([572.4, 573.6, 128.0, 128.0, 1000.0, 1.0], np.float32)
+    return anchors, trans_anchors, regression, classification, rotation, translation_raw, hand, cam
+
+
+def _legacy_filter(anchors, trans_anchors, regression, classification,
+                   rotation, translation_raw, hand, cam, h, w, **kw):
+    boxes = clip_boxes(bbox_transform_inv(jnp.asarray(anchors), jnp.asarray(regression)), h, w)
+    translation = decode_translation(
+        jnp.asarray(trans_anchors)[None], jnp.asarray(translation_raw)[None],
+        jnp.asarray(cam)[None],
+    )[0]
+    return filter_detections(
+        boxes, jnp.asarray(classification), jnp.asarray(rotation),
+        translation, jnp.asarray(hand), **kw,
+    )
+
+
+def test_fused_filter_matches_legacy():
+    """Decode-after-top-k must be BIT-identical to decode-everything-then-
+    filter: the per-anchor decode (ops/decode.py) commutes with the gather."""
+    for c in (1, 3):
+        rng = np.random.RandomState(23 + c)
+        (anchors, trans_anchors, regression, classification, rotation,
+         translation_raw, hand, cam) = _random_raw_detection_inputs(rng, 400, c)
+        kw = dict(score_threshold=0.3, iou_threshold=0.5, max_detections=16)
+        legacy = _legacy_filter(
+            anchors, trans_anchors, regression, classification, rotation,
+            translation_raw, hand, cam, 256, 256, **kw,
+        )
+        fused = filter_detections_fused(
+            jnp.asarray(regression), jnp.asarray(classification),
+            jnp.asarray(rotation), jnp.asarray(translation_raw),
+            jnp.asarray(hand), jnp.asarray(anchors),
+            jnp.asarray(trans_anchors), jnp.asarray(cam), 256, 256, **kw,
+        )
+        for name, a, b in zip(legacy._fields, legacy, fused):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"C={c} field {name}"
+            )
+
+
+def test_fused_filter_batch_matches_legacy():
+    rng = np.random.RandomState(29)
+    b, n = 3, 300
+    anchors, trans_anchors, *_ = _random_raw_detection_inputs(rng, n, 1)
+    regression = rng.normal(scale=0.3, size=(b, n, 4)).astype(np.float32)
+    classification = rng.uniform(0, 1, size=(b, n, 1)).astype(np.float32)
+    rotation = rng.normal(size=(b, n, 3)).astype(np.float32)
+    translation_raw = rng.normal(size=(b, n, 3)).astype(np.float32)
+    hand = rng.normal(size=(b, n, 63)).astype(np.float32)
+    cams = np.stack([
+        np.array([572.4, 573.6, 128.0, 128.0, 1000.0, 0.5 + 0.25 * i], np.float32)
+        for i in range(b)
+    ])
+    kw = dict(score_threshold=0.3, iou_threshold=0.5, max_detections=8)
+    fused = filter_detections_fused_batch(
+        jnp.asarray(regression), jnp.asarray(classification),
+        jnp.asarray(rotation), jnp.asarray(translation_raw), jnp.asarray(hand),
+        jnp.asarray(anchors), jnp.asarray(trans_anchors), jnp.asarray(cams),
+        256, 256, **kw,
+    )
+    for i in range(b):
+        legacy = _legacy_filter(
+            anchors, trans_anchors, regression[i], classification[i],
+            rotation[i], translation_raw[i], hand[i], cams[i], 256, 256, **kw,
+        )
+        for name, a, f in zip(legacy._fields, legacy, fused):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(f)[i], err_msg=f"img {i} field {name}"
+            )
