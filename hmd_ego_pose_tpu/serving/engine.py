@@ -210,6 +210,10 @@ class InferenceEngine:
         import jax
 
         h, w = self.frame_shape
+        params, state = self.params, self.bn_state
+        mc, sc = self.model_config, self.cfg
+        from hmd_ego_pose_tpu.models import hmd_ego_pose
+
         for b in self.batch_sizes:
             frames = self._jnp.asarray(np.zeros((b, h, w, 3), np.uint8))
             cams = self._jnp.asarray(np.tile(self._default_camera()[None], (b, 1)))
@@ -218,10 +222,21 @@ class InferenceEngine:
                 cams = jax.device_put(cams, self._camera_sharding)
             pre_exec = self._preprocess.lower(frames).compile()
             images = pre_exec(frames)
-            core_exec = self._predict_core.lower(
-                self.params, self.bn_state, images, cams
-            ).compile()
-            jax.block_until_ready(core_exec(self.params, self.bn_state, images, cams))
+            # Close over params/state instead of passing them: jit lifts the
+            # captured device arrays into executable-held consts (same
+            # buffers, no copy) supplied to every call WITHOUT re-flattening
+            # the ~600-leaf parameter pytree — at sub-ms batch-1 latency the
+            # per-call tree traversal is a measurable slice of the dispatch
+            # floor (VERDICT r3 #7; before/after in BENCH_NOTES.md).
+            core_exec = jax.jit(
+                lambda imgs, cms: hmd_ego_pose.predict(
+                    params, state, imgs, cms, mc,
+                    score_threshold=sc.score_threshold,
+                    iou_threshold=0.5,
+                    max_detections=1,
+                )
+            ).lower(images, cams).compile()
+            jax.block_until_ready(core_exec(images, cams))
             self._aot[b] = (pre_exec, core_exec)
 
     def _predict_aot(self, frames, cams):
@@ -229,7 +244,7 @@ class InferenceEngine:
         aot = getattr(self, "_aot", {}).get(frames.shape[0])
         if aot is not None:
             pre_exec, core_exec = aot
-            return core_exec(self.params, self.bn_state, pre_exec(frames), cams)
+            return core_exec(pre_exec(frames), cams)
         return self._predict(self.params, self.bn_state, frames, cams)
 
     def submit(self, frame: np.ndarray, camera: Optional[np.ndarray] = None) -> Future:

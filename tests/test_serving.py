@@ -343,3 +343,33 @@ def test_engine_separates_execute_and_fetch_stats(small_engine):
     assert s["execute"]["count"] >= 1 and s["fetch"]["count"] >= 1
     # execute + fetch <= combined device time (upload adds the remainder)
     assert s["execute"]["p50_ms"] + s["fetch"]["p50_ms"] <= s["device"]["p50_ms"] * 1.5
+
+
+def test_engine_aot_const_path_matches_jit(small_engine):
+    """warmup() builds closure-const AOT executables — params lifted into
+    executable-held consts so per-call dispatch skips flattening the ~600-leaf
+    parameter tree (VERDICT r3 #7 dispatch-floor shave).  The AOT path must
+    compute the jit path's function (to last-ulp tolerance: embedding params
+    as consts changes XLA fusion, so bit-identity is not guaranteed)."""
+    import jax.numpy as jnp
+
+    small_engine.warmup()
+    assert small_engine._aot, "warmup populated no AOT executables"
+    rng = np.random.RandomState(7)
+    b = small_engine.batch_sizes[0]
+    frames = jnp.asarray(rng.randint(0, 255, size=(b, 96, 96, 3)).astype(np.uint8))
+    cams = jnp.asarray(np.tile(small_engine._default_camera()[None], (b, 1)))
+    via_aot = small_engine._predict_aot(frames, cams)
+    via_jit = small_engine._predict(
+        small_engine.params, small_engine.bn_state, frames, cams
+    )
+    for got, want in zip(
+        jax.tree_util.tree_leaves(via_aot), jax.tree_util.tree_leaves(via_jit)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=1e-4, atol=1e-3,
+        )
+    # engine traffic now rides the AOT path end-to-end
+    frame = rng.randint(0, 255, size=(96, 96, 3)).astype(np.uint8)
+    assert small_engine.infer_blocking(frame) is not None
