@@ -16,6 +16,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -54,8 +56,6 @@ def main():
             "error": err[0] if err else
             f"bench exceeded {BENCH_TIMEOUT_S}s (TPU relay unreachable or wedged)",
         }), flush=True)
-        import os
-
         os._exit(1)
 
 
@@ -79,17 +79,30 @@ def _bench():
     images = jnp.asarray(rng.normal(size=(1, 256, 256, 3)).astype(np.float32) * 0.3)
     cam = jnp.asarray(np.array([[572.4114, 573.57043, 128.0, 128.0, 1000.0, 1.0]], np.float32))
 
-    # compile + warmup.  Also AOT-compile the same program
-    # (lower().compile()): the serving engine dispatches through compiled
-    # executables because they skip jax.jit's per-call python dispatch
-    # (cache lookup + arg canonicalization); both paths run the identical
-    # XLA program, so the bench measures each and reports the stable floor.
+    # compile + warmup.  Three dispatch variants of the SAME deployed
+    # function (min-of-medians below picks the floor):
+    #  * plain jit (per-call trace-cache lookup + arg canonicalization),
+    #  * AOT compiled executable (skips the jit python dispatch),
+    #  * const-closure AOT — params/state lifted into executable-held
+    #    consts so per-call dispatch skips flattening the ~600-leaf param
+    #    tree entirely (the serving engine's warmup() path, VERDICT r3 #7).
     det = predict(params, state, images, cam)
     jax.block_until_ready(det)
     aot = predict.lower(params, state, images, cam).compile()
-    for fn in (predict, aot):
+    const_aot = jax.jit(
+        lambda imgs, cams: hmd_ego_pose.predict(
+            params, state, imgs, cams, config,
+            score_threshold=0.5, max_detections=100,
+        )
+    ).lower(images, cam).compile()
+    variants = [
+        lambda: predict(params, state, images, cam),
+        lambda: aot(params, state, images, cam),
+        lambda: const_aot(images, cam),
+    ]
+    for fn in variants:
         for _ in range(3):
-            jax.block_until_ready(fn(params, state, images, cam))
+            jax.block_until_ready(fn())
 
     # timed runs: best-of-k medians.  Single-run p50 wobbled 0.861 -> 0.949 ms
     # between driver rounds (BENCH_r01/r02) — relay dispatch latency drifts on
@@ -97,14 +110,23 @@ def _bench():
     # MIN of k window-medians estimates the stable floor and is itself far
     # more stable run-to-run (variance study in BENCH_NOTES.md).
     medians = []
-    for fn in (predict, aot):
+    per_variant = {}
+    for name, fn in zip(("jit", "aot", "const_aot"), variants):
+        v = []
         for _ in range(5):
             times = []
             for _ in range(40):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(params, state, images, cam))
+                jax.block_until_ready(fn())
                 times.append((time.perf_counter() - t0) * 1000.0)
-            medians.append(float(np.percentile(times, 50)))
+            v.append(float(np.percentile(times, 50)))
+        medians.extend(v)
+        per_variant[name] = round(min(v), 3)
+
+    if os.environ.get("BENCH_VERBOSE"):
+        # per-dispatch-variant floors (VERDICT r3 #7 before/after), stderr so
+        # the driver's single-JSON-line stdout contract is untouched
+        print(json.dumps({"per_variant_p50_ms": per_variant}), file=sys.stderr)
 
     p50 = min(medians)
     baseline_ms = 30.0
