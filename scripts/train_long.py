@@ -57,7 +57,8 @@ def run_shift(args):
             clip_grad_norm=args.clip_grad_norm,
             loss=LossConfig(hand_weight=args.hand_weight),
         ),
-        data=DataConfig(dataset="syn_colibri", max_objects=k),
+        data=DataConfig(dataset="syn_colibri", max_objects=k,
+                        use_colorspace_augmentation=not args.no_color_aug),
         eval=EvalConfig(score_threshold=0.1),
     )
     root = os.path.join(args.workdir, "data")
@@ -197,6 +198,13 @@ def main():
                     help="global-norm gradient clip (0 = off, reference "
                          "parity); recipe lever for rotation-loss "
                          "oscillation on small datasets")
+    ap.add_argument("--no-color-aug", action="store_true",
+                    help="disable the RandAugment color stack "
+                         "(DataConfig.use_colorspace_augmentation=False, a "
+                         "reference-parity flag); recipe lever: the color "
+                         "stack destroys synthetic finger-hue identity in "
+                         "~11%% of draws (finger purity probe), which shows "
+                         "up as an orientation-flip tail in hand MPJPE")
     ap.add_argument("--num-objects", type=int, default=1,
                     help="K-object synthetic scene (beyond the reference's "
                          "K=1 colibri): num_classes=K model, per-class eval "
@@ -253,6 +261,8 @@ def main():
         ]
         if args.remat:
             cmd.append("--remat")
+        if args.no_color_aug:
+            cmd.append("--no-color-aug")
         if args.torch_init and shift == 0:
             cmd.append("--torch-init")
         print(f"[wrapper] shift {shift + 1}/{shifts} (lr={lr:.2e})")
