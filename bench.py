@@ -71,7 +71,17 @@ def _bench():
     from hmd_ego_pose_tpu.models import hmd_ego_pose
 
     config = ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16")
-    params, state = hmd_ego_pose.init(0, config)
+    # host tree FIRST, then one packed upload: the const-closure variant
+    # below must close over the HOST copies.  jit-tracing a closure over
+    # ACCELERATOR-resident arrays reads their values to embed them as HLO
+    # constants — a device->host fetch, i.e. THE permanent sync-mode
+    # degrade trigger on this relay (measured: adding such a closure made
+    # every variant, including plain jit, report ~30 ms RTT-bound "p50"
+    # instead of the 0.7 ms async dispatch floor).
+    from hmd_ego_pose_tpu.utils.device import to_default_device
+
+    params_h, state_h = hmd_ego_pose.init_host(0, config)
+    params, state = to_default_device((params_h, state_h))
 
     predict = hmd_ego_pose.make_predict_fn(config, score_threshold=0.5, max_detections=100)
 
@@ -91,7 +101,7 @@ def _bench():
     aot = predict.lower(params, state, images, cam).compile()
     const_aot = jax.jit(
         lambda imgs, cams: hmd_ego_pose.predict(
-            params, state, imgs, cams, config,
+            params_h, state_h, imgs, cams, config,
             score_threshold=0.5, max_detections=100,
         )
     ).lower(images, cam).compile()

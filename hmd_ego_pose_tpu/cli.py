@@ -149,7 +149,10 @@ def cmd_serve(args):
         params, bn_state, _ = restore_checkpoint(args.ckpt)
     else:
         print("WARNING: serving randomly initialized weights (no --ckpt)")
-        params, bn_state = hmd_ego_pose.init(0, model_cfg)
+        # host tree: keeps the engine's const-closure AOT fast path open
+        # (device-resident trees force the arg-passing executables; closing
+        # device leaves over a jit is the relay degrade trigger)
+        params, bn_state = hmd_ego_pose.init_host(0, model_cfg)
 
     default_camera = None
     if args.camera_params:

@@ -34,6 +34,29 @@ import numpy as np
 from hmd_ego_pose_tpu.config import ModelConfig, ServingConfig
 
 
+def _tree_on_host(tree) -> bool:
+    """True if every leaf is host-resident (numpy, or CPU-committed jax).
+
+    Gates the const-closure AOT fast path: reading a leaf's value at trace
+    time is free for host leaves but is a device->host fetch for
+    accelerator leaves — the permanent sync-mode degrade trigger on
+    relay-attached TPUs (BENCH_NOTES.md; CLAUDE.md landmine #4)."""
+    import jax
+
+    def leaf_on_host(x):
+        if isinstance(x, np.ndarray) or np.isscalar(x):
+            return True
+        devices = getattr(x, "devices", None)
+        if devices is None:
+            return True
+        try:
+            return all(d.platform == "cpu" for d in x.devices())
+        except Exception:
+            return False
+
+    return all(leaf_on_host(x) for x in jax.tree.leaves(tree))
+
+
 class _Request:
     __slots__ = ("frame", "camera", "future", "t_enqueue")
 
@@ -109,7 +132,23 @@ class InferenceEngine:
         if fold_bn:
             from hmd_ego_pose_tpu.models.folding import fold_batch_norms
 
-            params, bn_state = fold_batch_norms(params, bn_state, model_config)
+            if _tree_on_host((params, bn_state)) and jax.default_backend() != "cpu":
+                # keep host-resident trees host-resident: folding under the
+                # accelerator default would move every leaf onto the device,
+                # which forecloses warmup()'s const-closure fast path (see
+                # warmup — closing device arrays into a jit traces a
+                # device->host fetch, the permanent relay degrade trigger)
+                try:
+                    cpu = jax.devices("cpu")[0]
+                except RuntimeError:
+                    cpu = None
+                if cpu is not None:
+                    with jax.default_device(cpu):
+                        params, bn_state = fold_batch_norms(params, bn_state, model_config)
+                else:
+                    params, bn_state = fold_batch_norms(params, bn_state, model_config)
+            else:
+                params, bn_state = fold_batch_norms(params, bn_state, model_config)
 
         self.model_config = model_config
         self.cfg = serving_config
@@ -223,28 +262,49 @@ class InferenceEngine:
             pre_exec = self._preprocess.lower(frames).compile()
             images = pre_exec(frames)
             # Close over params/state instead of passing them: jit lifts the
-            # captured device arrays into executable-held consts (same
-            # buffers, no copy) supplied to every call WITHOUT re-flattening
-            # the ~600-leaf parameter pytree — at sub-ms batch-1 latency the
-            # per-call tree traversal is a measurable slice of the dispatch
-            # floor (VERDICT r3 #7; before/after in BENCH_NOTES.md).
-            core_exec = jax.jit(
-                lambda imgs, cms: hmd_ego_pose.predict(
-                    params, state, imgs, cms, mc,
-                    score_threshold=sc.score_threshold,
-                    iou_threshold=0.5,
-                    max_detections=1,
-                )
-            ).lower(images, cams).compile()
-            jax.block_until_ready(core_exec(images, cams))
-            self._aot[b] = (pre_exec, core_exec)
+            # captured arrays into executable-held consts supplied to every
+            # call WITHOUT re-flattening the ~600-leaf parameter pytree — at
+            # sub-ms batch-1 latency the per-call tree traversal is a
+            # measurable slice of the dispatch floor (VERDICT r3 #7;
+            # before/after in BENCH_NOTES.md).
+            #
+            # ONLY when the tree lives on the HOST: embedding a closure
+            # constant requires reading its VALUE at trace time, and for an
+            # accelerator-resident leaf that read is a device->host fetch —
+            # the PERMANENT sync-mode degrade trigger on relay-attached TPUs
+            # (measured: one such closure lowered every subsequent exec of
+            # this process from ~0.7 ms to ~30 ms RTT-bound).  Device-
+            # resident trees (e.g. a mesh deployment's device_put above)
+            # use arg-passing executables instead.
+            if _tree_on_host((params, state)):
+                core_exec = jax.jit(
+                    lambda imgs, cms: hmd_ego_pose.predict(
+                        params, state, imgs, cms, mc,
+                        score_threshold=sc.score_threshold,
+                        iou_threshold=0.5,
+                        max_detections=1,
+                    )
+                ).lower(images, cams).compile()
+                call = core_exec
+            else:
+                arg_exec = jax.jit(
+                    lambda p, s, imgs, cms: hmd_ego_pose.predict(
+                        p, s, imgs, cms, mc,
+                        score_threshold=sc.score_threshold,
+                        iou_threshold=0.5,
+                        max_detections=1,
+                    )
+                ).lower(params, state, images, cams).compile()
+                call = lambda imgs, cms: arg_exec(self.params, self.bn_state, imgs, cms)  # noqa: E731
+            jax.block_until_ready(call(images, cams))
+            self._aot[b] = (pre_exec, call)
 
     def _predict_aot(self, frames, cams):
         """Fixed-batch AOT path; falls back to jit for unexpected shapes."""
         aot = getattr(self, "_aot", {}).get(frames.shape[0])
         if aot is not None:
-            pre_exec, core_exec = aot
-            return core_exec(pre_exec(frames), cams)
+            pre_exec, call = aot
+            return call(pre_exec(frames), cams)
         return self._predict(self.params, self.bn_state, frames, cams)
 
     def submit(self, frame: np.ndarray, camera: Optional[np.ndarray] = None) -> Future:

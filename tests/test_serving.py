@@ -373,3 +373,40 @@ def test_engine_aot_const_path_matches_jit(small_engine):
     # engine traffic now rides the AOT path end-to-end
     frame = rng.randint(0, 255, size=(96, 96, 3)).astype(np.uint8)
     assert small_engine.infer_blocking(frame) is not None
+
+
+def test_engine_device_resident_params_use_arg_passing_aot(small_engine, monkeypatch):
+    """The const-closure fast path is gated on HOST-resident params: closing
+    an accelerator-resident leaf into a jit reads its value at trace time —
+    a device->host fetch, the permanent ~30x sync-mode degrade trigger on
+    relay-attached TPUs (BENCH_NOTES.md).  When the tree is device-resident
+    (e.g. a mesh deployment), warmup must build ARG-PASSING executables that
+    compute the same function."""
+    from hmd_ego_pose_tpu.serving import engine as engine_mod
+
+    assert engine_mod._tree_on_host({"w": np.ones(3)})
+    monkeypatch.setattr(engine_mod, "_tree_on_host", lambda tree: False)
+    small_engine._aot = {}
+    small_engine.warmup()
+    assert small_engine._aot, "warmup populated no AOT executables"
+    rng = np.random.RandomState(11)
+    b = small_engine.batch_sizes[0]
+    frames = np.ascontiguousarray(
+        rng.randint(0, 255, size=(b, 96, 96, 3)).astype(np.uint8)
+    )
+    cams = np.tile(small_engine._default_camera()[None], (b, 1))
+    import jax
+    import jax.numpy as jnp
+
+    via_aot = small_engine._predict_aot(jnp.asarray(frames), jnp.asarray(cams))
+    via_jit = small_engine._predict(
+        small_engine.params, small_engine.bn_state,
+        jnp.asarray(frames), jnp.asarray(cams),
+    )
+    for got, want in zip(
+        jax.tree_util.tree_leaves(via_aot), jax.tree_util.tree_leaves(via_jit)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=1e-4, atol=1e-3,
+        )
