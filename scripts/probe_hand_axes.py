@@ -110,6 +110,11 @@ def main():
             np.linalg.norm(errs - errs[:, 0:1], axis=-1).mean()
         ),
         "per_joint_mpjpe_mm": d.mean(axis=0).round(1).tolist(),
+        # per-frame values let two checkpoints be compared frame-by-frame:
+        # a high cross-checkpoint correlation means the tail is FRAME-
+        # INTRINSIC (e.g. edge-on skeleton views with ambiguous finger
+        # assignment), not stochastic training noise
+        "per_frame_mpjpe_mm": per_frame.round(1).tolist(),
     }
     for k, v in stats.items():
         print(f"{k}: {v}")
