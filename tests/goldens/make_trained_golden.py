@@ -36,7 +36,7 @@ from hmd_ego_pose_tpu.models import hmd_ego_pose
 from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
 
 GOLDEN_DIR = os.path.dirname(os.path.abspath(__file__))
-CKPT = os.path.join(REPO, "trained", "syn500_phi0_320ep_int8.npz")
+CKPT = os.path.join(REPO, "trained", "syn1000_phi0_448ep_int8.npz")
 
 
 def main():
@@ -77,6 +77,7 @@ def main():
             f"translation_{i}": np.asarray(det.translation[0][top]),
             f"hand_{i}": np.asarray(det.hand[0][top]),
             f"gt_translation_{i}": anno["translations"][0],
+            f"gt_hand_{i}": np.asarray(anno["coords_3d"][0], np.float32) * scale,
         })
         t_errs.append(float(np.linalg.norm(
             out[f"translation_{i}"] - anno["translations"][0])))

@@ -1,6 +1,6 @@
 """Golden regression test pinning the SHIPPED trained checkpoint.
 
-Restores trained/syn500_phi0_320ep_int8.npz, predicts on the committed
+Restores trained/syn1000_phi0_448ep_int8.npz, predicts on the committed
 synthetic val frames, and asserts against committed expected values — so the
 int8-checkpoint format, the restore path, and predict numerics cannot drift
 silently (VERDICT r2 missing #5; reference analog: recorded expected outputs,
@@ -27,7 +27,7 @@ from hmd_ego_pose_tpu.models import hmd_ego_pose
 from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CKPT = os.path.join(REPO, "trained", "syn500_phi0_320ep_int8.npz")
+CKPT = os.path.join(REPO, "trained", "syn1000_phi0_448ep_int8.npz")
 GOLDEN = os.path.join(REPO, "tests", "goldens")
 
 
@@ -42,10 +42,12 @@ def golden():
 def test_trained_checkpoint_restores_and_predicts_golden(golden):
     cfg = Config(model=ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16"))
     params, bn_state, meta = restore_checkpoint(CKPT)
-    assert meta.get("epoch") == 31  # the final shift of the 320-epoch run
+    assert meta.get("epoch") == 15  # the final shift of the 448-epoch recipe
+    assert meta.get("cumulative_epochs") == 448
     predict = hmd_ego_pose.make_predict_fn(cfg.model, score_threshold=0.1)
 
     t_errs = []
+    hand_errs = []
     for i in range(int(golden["n_frames"])):
         frame = imread_rgb(os.path.join(GOLDEN, f"trained_ckpt_frame_{i}.png"))
         image, scale = preprocess_image(frame, cfg.model.image_size)
@@ -68,9 +70,18 @@ def test_trained_checkpoint_restores_and_predicts_golden(golden):
         np.testing.assert_allclose(hand, golden[f"hand_{i}"], atol=5.0)
         t_errs.append(float(np.linalg.norm(
             translation - golden[f"gt_translation_{i}"])))
+        if f"gt_hand_{i}" in golden:
+            hand_errs.append(float(np.mean(np.linalg.norm(
+                hand.reshape(21, 3) - golden[f"gt_hand_{i}"].reshape(21, 3),
+                axis=-1)) * 1000.0))
 
-    # and the model is genuinely GOOD (the trained metric, not just
-    # self-consistency); median absorbs the generator-version difficulty
-    # shift (the 320ep run predates skeleton-hand rendering)
+    # and the model is genuinely GOOD at BOTH heads (the trained metrics,
+    # not just self-consistency); medians absorb small-set difficulty
+    # variance.  Full-val numbers for the shipped 448-epoch artifact:
+    # drill 13.96 mm / 3.64 deg, hand MPJPE 43.6 mm (TRAIN_SYNTHETIC.md
+    # run F; reference real-data numbers: 11.27 mm / 16.78 mm).
     med = float(np.median(t_errs))
-    assert med < 45.0, f"median translation error vs GT {med:.1f}mm ({t_errs})"
+    assert med < 30.0, f"median translation error vs GT {med:.1f}mm ({t_errs})"
+    if hand_errs:
+        med_hand = float(np.median(hand_errs))
+        assert med_hand < 60.0, f"median hand MPJPE vs GT {med_hand:.1f}mm"
