@@ -316,6 +316,7 @@ def cmd_make_synthetic(args):
         args.out_dir, num_frames=args.num_frames,
         image_size=(args.frame_size, args.frame_size),
         num_objects=args.num_objects,
+        hand_render_version=args.hand_render_version,
     )
     print(f"synthetic colibri dataset at {path}")
 
@@ -433,6 +434,10 @@ def main(argv=None):
     p.add_argument("--num-objects", type=int, default=1,
                    help=">1 writes a multi-object scene (per-object mask "
                         "values + mask_values.yml; train with --object-ids)")
+    p.add_argument("--hand-render-version", type=int, default=2, choices=(2, 3),
+                   help="3 = round-4 hand cues: grip-distance placement, "
+                        "1/z joint radii, palm-orientation arrows "
+                        "(TRAIN_SYNTHETIC.md run-G)")
     p.set_defaults(func=cmd_make_synthetic)
 
     args = parser.parse_args(argv)

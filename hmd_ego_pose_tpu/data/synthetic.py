@@ -51,16 +51,20 @@ def _splat(image, mask, uv, z, colors, radius=3, mask_value=255):
     ``colors``: (N, 3) per-point colors.  They are computed from model-frame
     coordinates so the rendered appearance encodes orientation — otherwise
     the 6-DoF rotation would be unlearnable from these images.
+    ``radius``: scalar, or a (N,) per-point array (the v3 hand renderer
+    scales joint radii by 1/z as a monocular size-depth cue).
     ``mask_value``: pixel value written into ``mask`` (multi-object frames
     give each object its own value so per-object bboxes stay recoverable).
     """
     h, w = image.shape[:2]
+    radii = np.broadcast_to(np.asarray(radius, int), (len(uv),))
     order = np.argsort(-z)  # far to near
     for i in order:
         x, y = int(round(uv[i, 0])), int(round(uv[i, 1]))
+        r = int(radii[i])
         if 0 <= x < w and 0 <= y < h:
-            x0, x1 = max(0, x - radius), min(w, x + radius + 1)
-            y0, y1 = max(0, y - radius), min(h, y + radius + 1)
+            x0, x1 = max(0, x - r), min(w, x + r + 1)
+            y0, y1 = max(0, y - r), min(h, y + r + 1)
             image[y0:y1, x0:x1] = colors[i]
             mask[y0:y1, x0:x1] = mask_value
 
@@ -151,8 +155,19 @@ def generate_synthetic_colibri(
     val_fraction: float = 0.2,
     test_fraction: float = 0.2,
     num_objects: int = 1,
+    hand_render_version: int = 2,
 ) -> str:
     """Write a synthetic dataset under ``root``; returns the dataset path.
+
+    ``hand_render_version``: 2 = round-3 skeleton renderer (default, keeps
+    every existing seed-0 dataset bit-identical).  3 adds the cues the
+    round-4 hand-error decomposition said were missing (TRAIN_SYNTHETIC.md
+    run-F verdict): grip-distance hand placement (18-40 mm lateral instead
+    of 40-70 — real egocentric hands hold the drill, and the hand targets
+    are regressed from DRILL-anchored features), 1/z-scaled joint radii (a
+    monocular size-depth cue), brighter bones, and two bright 3D
+    orientation arrows from the wrist (palm +y in cyan, thumb-side +x in
+    orange) so palm orientation is never ambiguous in an edge-on view.
 
     ``num_objects > 1`` writes a MULTI-OBJECT scene (beyond the reference,
     whose colibri generators are strictly K=1): every frame renders
@@ -259,9 +274,13 @@ def generate_synthetic_colibri(
         # lateral offset keeps most of the thin skeleton over the background
         # instead of lost inside the drill's own colored-splat texture
         ang = rng.uniform(0.0, 2 * np.pi)
+        lateral_mm = (
+            rng.uniform(18.0, 40.0) if hand_render_version >= 3
+            else rng.uniform(40.0, 70.0)
+        )
         hand_center_mm = (
             trans
-            + rng.uniform(40.0, 70.0) * np.array([np.cos(ang), np.sin(ang), 0.0])
+            + lateral_mm * np.array([np.cos(ang), np.sin(ang), 0.0])
             + rng.normal(scale=10.0, size=3)
         )
         hand_rotvec = rng.normal(size=3)
@@ -298,10 +317,11 @@ def generate_synthetic_colibri(
         # bone lengths additionally encode depth via projective scale.
         hand_colors = hand_joint_colors()
         bone_pts, bone_colors = [], []
+        bone_dim = 0.7 if hand_render_version >= 3 else 0.45
         for parent, child in HAND_BONES:
             ts = np.linspace(0.0, 1.0, 24)[:, None]
             bone_pts.append(hand_pts_mm[parent] + ts * (hand_pts_mm[child] - hand_pts_mm[parent]))
-            dim = np.clip(np.rint(hand_colors[child].astype(np.float64) * 0.45), 0, 255)
+            dim = np.clip(np.rint(hand_colors[child].astype(np.float64) * bone_dim), 0, 255)
             bone_colors.append(np.repeat(dim[None, :].astype(np.uint8), 24, axis=0))
         bone_pts = np.concatenate(bone_pts, axis=0)
         bone_colors = np.concatenate(bone_colors, axis=0)
@@ -320,8 +340,30 @@ def generate_synthetic_colibri(
         arm_colors = np.concatenate(arm_colors, axis=0)
         arm_uv, arm_z = _project(arm_pts, np.eye(3), np.zeros(3), cam_k)
         _splat(image, np.zeros((h, w), np.uint8), arm_uv, arm_z, arm_colors, radius=0)
+        if hand_render_version >= 3:
+            # palm-orientation arrows: 3D segments from the wrist along the
+            # rotated canonical +y (finger direction, cyan) and +x
+            # (thumb side, orange).  Rendered from 3D so they transform
+            # consistently under the 6-DoF train-time warp; they remove the
+            # palm-orientation ambiguity of near-edge-on skeleton views
+            # (round-4 decomposition: error grows with lever arm from the
+            # palm — an orientation-error signature).
+            for axis_vec, col in (
+                (np.array([0.0, 1.0, 0.0]), np.array([0, 255, 255], np.uint8)),
+                (np.array([1.0, 0.0, 0.0]), np.array([255, 128, 0], np.uint8)),
+            ):
+                ts = np.linspace(0.0, 1.0, 18)[:, None]
+                seg = hand_pts_mm[0] + ts * (hand_rot @ (axis_vec * 50.0))
+                seg_uv, seg_z = _project(seg, np.eye(3), np.zeros(3), cam_k)
+                _splat(image, np.zeros((h, w), np.uint8), seg_uv, seg_z,
+                       np.repeat(col[None, :], 18, axis=0), radius=1)
         hand_uv, hand_z = _project(hand_pts_mm, np.eye(3), np.zeros(3), cam_k)
-        _splat(image, np.zeros((h, w), np.uint8), hand_uv, hand_z, hand_colors, radius=2)
+        joint_radius = (
+            np.clip(np.rint(1400.0 / hand_z), 1, 4).astype(int)
+            if hand_render_version >= 3 else 2
+        )
+        _splat(image, np.zeros((h, w), np.uint8), hand_uv, hand_z, hand_colors,
+               radius=joint_radius)
 
         imwrite(os.path.join(obj_dir, "rgb", f"{frame:06d}.png"), image)
         imwrite(os.path.join(obj_dir, "mask", f"{frame:06d}.png"), mask)
