@@ -424,3 +424,51 @@ def test_compute_average_precision_simple():
     recall = np.array([1.0, 1.0])
     precision = np.array([1.0, 0.5])
     assert compute_average_precision(recall, precision) == pytest.approx(1.0)
+
+
+def test_hand_renderer_v3_cues(tmp_path):
+    """Renderer v3 (run-G generator redesign): grip placement, orientation
+    arrows, depth-scaled radii — and v2 label/pose streams unperturbed.
+
+    v3 consumes the identical RNG stream as v2 (the lateral draw is the
+    same uniform sample over a different range; radii/arrows are
+    deterministic), so same-seed v2/v3 datasets must agree on every drill
+    pose while differing in hand placement tightness and arrow pixels.
+    """
+    import yaml
+
+    r2 = generate_synthetic_colibri(
+        str(tmp_path / "v2"), num_frames=5, image_size=(128, 128),
+        hand_render_version=2)
+    r3 = generate_synthetic_colibri(
+        str(tmp_path / "v3"), num_frames=5, image_size=(128, 128),
+        hand_render_version=3)
+
+    with open(os.path.join(r2, "data", "01", "gt_0.yml")) as f:
+        gt2 = yaml.safe_load(f)
+    with open(os.path.join(r3, "data", "01", "gt_0.yml")) as f:
+        gt3 = yaml.safe_load(f)
+    for fr in gt2:
+        # drill poses identical: v3 only changes the hand rendering
+        np.testing.assert_allclose(
+            gt2[fr][0]["cam_t_m2c"], gt3[fr][0]["cam_t_m2c"], rtol=0, atol=0)
+        np.testing.assert_allclose(
+            gt2[fr][0]["cam_R_m2c"], gt3[fr][0]["cam_R_m2c"], rtol=0, atol=0)
+
+    from hmd_ego_pose_tpu.data.image import imread_rgb
+
+    cyan2 = cyan3 = 0
+    for fr in range(5):
+        # grip placement: v3 hand centroid sits closer to the drill (xy)
+        h2 = np.load(os.path.join(r2, "data", "01", "hands", f"{fr:06d}_coords_3d.npy")) * 1000
+        h3 = np.load(os.path.join(r3, "data", "01", "hands", f"{fr:06d}_coords_3d.npy")) * 1000
+        t = np.asarray(gt2[fr][0]["cam_t_m2c"])
+        d2 = np.linalg.norm(h2.mean(axis=0)[:2] - t[:2])
+        d3 = np.linalg.norm(h3.mean(axis=0)[:2] - t[:2])
+        assert d3 < d2  # 18-40mm lateral vs 40-70 (same underlying draw)
+        a3 = imread_rgb(os.path.join(r3, "data", "01", "rgb", f"{fr:06d}.png")).astype(int)
+        a2 = imread_rgb(os.path.join(r2, "data", "01", "rgb", f"{fr:06d}.png")).astype(int)
+        cyan3 += int(((a3[..., 0] < 90) & (a3[..., 1] > 170) & (a3[..., 2] > 170)).sum())
+        cyan2 += int(((a2[..., 0] < 90) & (a2[..., 1] > 170) & (a2[..., 2] > 170)).sum())
+    # palm-orientation arrows: bright cyan present in v3, essentially absent in v2
+    assert cyan3 > cyan2 + 20
