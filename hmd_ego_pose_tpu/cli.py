@@ -33,6 +33,13 @@ def _add_common(p: argparse.ArgumentParser):
              "reads all objects from the first id's scene dir",
     )
     p.add_argument("--iter", type=int, default=0, help="iterative refinement steps")
+    p.add_argument("--hand-relative", action="store_true",
+                   help="drill-anchored hand decode (beyond reference "
+                        "parity): the hand head regresses joint offsets "
+                        "from the object translation; predict() re-anchors "
+                        "on the predicted translation "
+                        "(ModelConfig.hand_relative). A checkpoint trained "
+                        "one way must be evaluated the same way.")
     p.add_argument("--img-size", type=int, default=256)
     p.add_argument("--phi", type=int, default=0, help="EfficientDet compound coefficient")
     p.add_argument("--batch-size", type=int, default=16)
@@ -52,7 +59,8 @@ def _make_config(args, **train_overrides):
     k = len(ids) if ids else 1
     return Config(
         model=ModelConfig(phi=args.phi, image_size=args.img_size,
-                          iter_steps=args.iter, num_classes=k),
+                          iter_steps=args.iter, num_classes=k,
+                          hand_relative=getattr(args, "hand_relative", False)),
         train=TrainConfig(batch_size=args.batch_size, **train_overrides),
         data=DataConfig(
             dataset=args.dataset, dataset_path=args.dataset_path,

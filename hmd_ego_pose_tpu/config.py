@@ -122,6 +122,19 @@ class ModelConfig:
     # 6x-expanded block intermediates instead of saving them trades
     # nearly-free FLOPs for bytes.  No effect on inference or numerics.
     remat_backbone: bool = False
+    # Drill-anchored hand decode (beyond reference parity, default off).
+    # The reference's hand head regresses ABSOLUTE camera-frame joint
+    # coordinates (hmdegopose/model.py:92-151, raw 63-float output); the
+    # round-4 error decomposition showed position-agnostic conv features
+    # cannot resolve the absolute placement spread (TRAIN_SYNTHETIC.md run-F
+    # verdict).  With this flag the head regresses joint coordinates
+    # RELATIVE to the object's translation: training targets subtract the
+    # GT translation (train/step.py), inference adds back the PREDICTED
+    # translation (models/hmd_ego_pose.py::predict) — exact inverses, so
+    # hand MPJPE becomes (relative error) + (drill translation error)
+    # instead of an absolute-regression floor.  Translation is metric mm;
+    # hand coords are meters (the reference's unit split, eval/common.py:975).
+    hand_relative: bool = False
 
     def __post_init__(self):
         if not 0 <= self.phi <= 8:

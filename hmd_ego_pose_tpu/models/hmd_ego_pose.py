@@ -25,6 +25,7 @@ from hmd_ego_pose_tpu.ops.decode import (
     bbox_transform_inv,
     clip_boxes,
     decode_translation,
+    hand_to_absolute,
 )
 from hmd_ego_pose_tpu.ops.nms import (
     Detections,
@@ -282,7 +283,7 @@ def predict(
     anchors_np, trans_anchors_np = anchors_for_shape(
         (config.image_size, config.image_size), config.anchors
     )
-    return filter_detections_fused_batch(
+    dets = filter_detections_fused_batch(
         outputs.regression,
         outputs.classification,
         outputs.rotation,
@@ -297,6 +298,13 @@ def predict(
         iou_threshold=iou_threshold,
         max_detections=max_detections,
     )
+    if config.hand_relative:
+        # drill-anchored hand head (ModelConfig.hand_relative): the head
+        # regressed joint offsets from the object translation; re-anchor on
+        # the PREDICTED translation (mm -> m, hand coords are meters).
+        # Exact inverse of the training-target transform (train/step.py).
+        dets = dets._replace(hand=hand_to_absolute(dets.hand, dets.translation))
+    return dets
 
 
 def make_predict_fn(

@@ -89,3 +89,23 @@ def decode_translation(translation_anchors, translation_raw, camera_parameters):
     """
     xy_tz = translation_transform_inv(translation_anchors, translation_raw)
     return calculate_txty(xy_tz, camera_parameters)
+
+
+def hand_to_relative(coords_3d, translation_mm):
+    """Drill-anchored hand targets (ModelConfig.hand_relative, beyond
+    reference parity): subtract the object translation (metric mm -> m)
+    from each of the 21 joints' meter coordinates.
+
+    ``coords_3d``: (..., 63) flattened 21x3 joints in meters (the
+    reference's hand unit, eval/common.py:975-981).
+    ``translation_mm``: (..., 3) object translation in millimeters (the
+    reference's pose unit, loss.py:30-51).
+    """
+    reps = (1,) * (coords_3d.ndim - 1) + (21,)
+    return coords_3d - jnp.tile(translation_mm / 1000.0, reps)
+
+
+def hand_to_absolute(coords_3d_rel, translation_mm):
+    """Exact inverse of :func:`hand_to_relative` (same translation)."""
+    reps = (1,) * (coords_3d_rel.ndim - 1) + (21,)
+    return coords_3d_rel + jnp.tile(translation_mm / 1000.0, reps)

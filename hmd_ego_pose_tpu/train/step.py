@@ -20,7 +20,7 @@ from hmd_ego_pose_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
 from hmd_ego_pose_tpu.losses import LossBundle, total_loss
 from hmd_ego_pose_tpu.models import hmd_ego_pose
 from hmd_ego_pose_tpu.ops.anchors import anchors_for_shape
-from hmd_ego_pose_tpu.ops.decode import decode_translation
+from hmd_ego_pose_tpu.ops.decode import decode_translation, hand_to_relative
 from hmd_ego_pose_tpu.ops.target_assign import assign_targets_batch
 from hmd_ego_pose_tpu.train.state import TrainState, make_optimizer
 
@@ -59,12 +59,21 @@ def _compute_losses(
     anchors_np, trans_anchors_np = anchors_for_shape(
         (model_cfg.image_size, model_cfg.image_size), model_cfg.anchors
     )
+    gt_coords_3d = batch.gt_coords_3d
+    if model_cfg.hand_relative:
+        # drill-anchored hand targets: subtract each row's GT translation
+        # from its 21 joints; predict() adds the PREDICTED translation
+        # back, so the pair is an exact inverse at gt == pred
+        # (tests/test_ops.py::test_hand_relative_roundtrip)
+        gt_coords_3d = hand_to_relative(
+            gt_coords_3d, batch.gt_transformation[..., 3:6]
+        )
     targets = assign_targets_batch(
         jnp.asarray(anchors_np),
         batch.gt_boxes,
         batch.gt_labels,
         batch.gt_transformation,
-        batch.gt_coords_3d,
+        gt_coords_3d,
         batch.gt_valid,
         num_classes=model_cfg.num_classes,
         image_size=model_cfg.image_size,

@@ -45,7 +45,8 @@ def run_shift(args):
     k = args.num_objects
     cfg = Config(
         model=ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16",
-                          remat_backbone=args.remat, num_classes=k),
+                          remat_backbone=args.remat, num_classes=k,
+                          hand_relative=args.hand_relative),
         train=TrainConfig(
             batch_size=args.batch_size,
             learning_rate=args.lr,
@@ -205,6 +206,11 @@ def main():
                          "stack destroys synthetic finger-hue identity in "
                          "~11%% of draws (finger purity probe), which shows "
                          "up as an orientation-flip tail in hand MPJPE")
+    ap.add_argument("--hand-relative", action="store_true",
+                    help="drill-anchored hand decode "
+                         "(ModelConfig.hand_relative, beyond reference "
+                         "parity); the seed checkpoint must have been "
+                         "trained the same way or from scratch")
     ap.add_argument("--num-objects", type=int, default=1,
                     help="K-object synthetic scene (beyond the reference's "
                          "K=1 colibri): num_classes=K model, per-class eval "
@@ -263,6 +269,8 @@ def main():
             cmd.append("--remat")
         if args.no_color_aug:
             cmd.append("--no-color-aug")
+        if args.hand_relative:
+            cmd.append("--hand-relative")
         if args.torch_init and shift == 0:
             cmd.append("--torch-init")
         print(f"[wrapper] shift {shift + 1}/{shifts} (lr={lr:.2e})")

@@ -191,3 +191,34 @@ def test_remat_backbone_same_outputs_and_grads():
     np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_predict_hand_relative_reanchors_on_predicted_translation():
+    """ModelConfig.hand_relative: same params/weights, predict() with the
+    flag must return hand == (flag-off hand) + predicted translation tiled
+    over the 21 joints (mm -> m) on every valid detection — the exact
+    inverse of the training-target transform (train/step.py)."""
+    cfg = small_config()
+    cfg_rel = dataclasses.replace(cfg, hand_relative=True)
+    params, state = hmd_ego_pose.init(0, cfg)
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.normal(size=(2, 128, 128, 3)).astype(np.float32) * 0.3)
+    cams = jnp.tile(
+        jnp.asarray([[570.0, 570.0, 64.0, 64.0, 1000.0, 1.0]], jnp.float32), (2, 1)
+    )
+
+    kw = dict(score_threshold=0.0, iou_threshold=0.5, max_detections=8)
+    base = hmd_ego_pose.predict(params, state, images, cams, cfg, **kw)
+    rel = hmd_ego_pose.predict(params, state, images, cams, cfg_rel, **kw)
+
+    valid = np.asarray(base.labels) >= 0
+    assert valid.any()
+    expect = np.asarray(base.hand) + np.tile(np.asarray(base.translation) / 1000.0, (1, 1, 21))
+    np.testing.assert_allclose(
+        np.asarray(rel.hand)[valid], expect[valid], rtol=1e-6, atol=1e-7
+    )
+    # everything except the hand is untouched by the flag
+    for name in ("boxes", "scores", "labels", "rotation", "translation"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(base, name)), np.asarray(getattr(rel, name)), err_msg=name
+        )

@@ -342,3 +342,29 @@ def test_fused_filter_batch_matches_legacy():
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(f)[i], err_msg=f"img {i} field {name}"
             )
+
+
+def test_hand_relative_roundtrip():
+    """hand_to_relative / hand_to_absolute are exact inverses and tile the
+    translation over all 21 joints (ModelConfig.hand_relative seams:
+    train/step.py targets, models/hmd_ego_pose.py predict)."""
+    from hmd_ego_pose_tpu.ops.decode import hand_to_absolute, hand_to_relative
+
+    rng = np.random.RandomState(7)
+    for shape in ((4, 63), (2, 3, 63)):
+        coords = jnp.asarray(rng.uniform(-0.2, 0.8, size=shape).astype(np.float32))
+        trans = jnp.asarray(
+            rng.uniform(-100, 700, size=shape[:-1] + (3,)).astype(np.float32)
+        )
+        rel = hand_to_relative(coords, trans)
+        # every joint shifted by the same (m-scale) translation
+        np.testing.assert_allclose(
+            np.asarray(coords - rel).reshape(shape[:-1] + (21, 3)),
+            np.broadcast_to(
+                np.asarray(trans)[..., None, :] / 1000.0, shape[:-1] + (21, 3)
+            ),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(hand_to_absolute(rel, trans)), np.asarray(coords), atol=1e-7
+        )
