@@ -152,7 +152,8 @@ def cmd_serve(args):
     from hmd_ego_pose_tpu.serving.server import PoseServer
     from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
 
-    model_cfg = ModelConfig(phi=args.phi, image_size=args.img_size, compute_dtype="bfloat16")
+    model_cfg = ModelConfig(phi=args.phi, image_size=args.img_size, compute_dtype="bfloat16",
+                            hand_relative=getattr(args, "hand_relative", False))
     if args.ckpt:
         params, bn_state, _ = restore_checkpoint(args.ckpt)
     else:
@@ -247,7 +248,8 @@ def cmd_export(args):
     from hmd_ego_pose_tpu.models import hmd_ego_pose
     from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
 
-    cfg = ModelConfig(phi=args.phi, image_size=args.img_size)
+    cfg = ModelConfig(phi=args.phi, image_size=args.img_size,
+                      hand_relative=getattr(args, "hand_relative", False))
     if args.ckpt:
         params, bn_state, _ = restore_checkpoint(args.ckpt)
     else:
@@ -401,6 +403,8 @@ def main(argv=None):
     p.add_argument("--score-threshold", type=float, default=0.5)
     p.add_argument("--camera-params", default=None,
                    help="txt file of [fx fy px py tz_scale image_scale] (reference camera_params*.txt layout)")
+    p.add_argument("--hand-relative", action="store_true",
+                   help="the checkpoint was trained with ModelConfig.hand_relative")
     p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("debug", help="dataset/annotation viewer (reference debug.py)")
@@ -417,6 +421,8 @@ def main(argv=None):
     p.add_argument("--phi", type=int, default=0)
     p.add_argument("--img-size", type=int, default=256)
     p.add_argument("--out-dir", default="artifacts")
+    p.add_argument("--hand-relative", action="store_true",
+                   help="the checkpoint was trained with ModelConfig.hand_relative")
     p.set_defaults(func=cmd_export)
 
     p = sub.add_parser("parity", help="torch-checkpoint conversion + activation diffing harness")
