@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--limit", type=int, default=0, help="0 = whole partition")
     ap.add_argument("--score-threshold", type=float, default=0.1)
     ap.add_argument("--json", default="", help="also dump the stats as JSON")
+    ap.add_argument("--hand-relative", action="store_true",
+                    help="checkpoint trained with ModelConfig.hand_relative")
     args = ap.parse_args()
 
     from hmd_ego_pose_tpu.config import ModelConfig
@@ -56,7 +58,8 @@ def main():
     from hmd_ego_pose_tpu.models import hmd_ego_pose
     from hmd_ego_pose_tpu.train.checkpoint import restore_checkpoint
 
-    cfg = ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16")
+    cfg = ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16",
+                      hand_relative=args.hand_relative)
     params, bn_state, meta = restore_checkpoint(args.ckpt)
     print(f"ckpt {args.ckpt} (epoch {meta.get('epoch')})")
     predict = jax.jit(
