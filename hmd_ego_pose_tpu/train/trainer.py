@@ -384,6 +384,7 @@ class Trainer:
                     metadata={
                         "epoch": epoch,
                         "metric": metric,
+                        "hand_relative": self.config.model.hand_relative,
                         "config": repr(self.config),
                         "metrics": result.scalars(),
                     },
@@ -401,6 +402,7 @@ class Trainer:
                 self.state.bn_state,
                 metadata={"epoch": epoch, "metric": metric,
                           "train_step": self._steps_done,
+                          "hand_relative": self.config.model.hand_relative,
                           "config": repr(self.config)},
                 opt_state=self.state.opt_state,
             )

@@ -22,6 +22,7 @@ Usage:
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -76,6 +77,8 @@ def run_shift(args):
         with open(sidecar) as f:
             epochs_done = json.load(f)["epochs_done"]
     if os.path.exists(last):
+        from hmd_ego_pose_tpu.train.checkpoint import meta_hand_relative
+
         params, bn_state, meta = restore_checkpoint(last)
         # resume the Adam moments too (older checkpoints lack them: leaves
         # None -> fresh moments, the previous behavior)
@@ -84,6 +87,11 @@ def run_shift(args):
         print(f"[shift] restored {last} (epoch {meta.get('epoch')}, "
               f"cumulative {epochs_done}, "
               f"opt_moments={'yes' if opt_leaves else 'no'}, step {start_step})")
+        rec = meta_hand_relative(meta)
+        if rec is not None and rec != cfg.model.hand_relative:
+            print(f"[shift] WARNING: seed checkpoint hand_relative={rec} vs "
+                  f"this run's {cfg.model.hand_relative}; the hand tower will "
+                  f"relearn its output convention")
     elif args.torch_init:
         # exercise the torch-checkpoint init path: build the reference
         # architecture in torch, convert its state_dict, train from it
@@ -172,6 +180,52 @@ def _torch_converted_init(model_cfg):
     return params, bn_state
 
 
+def _safekeep(workdir: str) -> None:
+    """Copy the run's resume state into the tracked repo + git-commit it.
+
+    VM resets wipe every untracked workdir (runs D and G died this way;
+    run H had to reseed from an int8 artifact without Adam moments —
+    VERDICT r4 weak #6).  Committing ckpt/last.npz (params + BN + Adam
+    moments, verbatim — no quantization confound) at every shift boundary
+    bounds a reset's cost to one shift.  Pruned (git rm) once the run's
+    final artifact ships."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dest = os.path.join(repo, "trained", "safekeep", os.path.basename(workdir))
+    os.makedirs(dest, exist_ok=True)
+    for rel in ("ckpt/last.npz", "ckpt/last.json", "epochs_done.json", "history.jsonl"):
+        src = os.path.join(workdir, rel)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(dest, os.path.basename(rel)))
+    try:
+        subprocess.run(["git", "-C", repo, "add", "-f", dest], check=True)
+        subprocess.run(
+            ["git", "-C", repo, "commit", "-q", "-m",
+             f"safekeep: {os.path.basename(workdir)} shift checkpoint (auto)"],
+            check=True)
+        print(f"[wrapper] safekeep committed -> {dest}")
+    except subprocess.CalledProcessError as e:  # e.g. nothing changed
+        print(f"[wrapper] safekeep commit skipped ({e})")
+
+
+def _restore_from_safekeep(workdir: str) -> None:
+    """Inverse of _safekeep: if the workdir lost its checkpoint to a VM
+    reset but a safekeep copy exists, seed the workdir from it."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(repo, "trained", "safekeep", os.path.basename(workdir))
+    if os.path.exists(os.path.join(workdir, "ckpt", "last.npz")):
+        return
+    if not os.path.exists(os.path.join(src, "last.npz")):
+        return
+    os.makedirs(os.path.join(workdir, "ckpt"), exist_ok=True)
+    for name, rel in (("last.npz", "ckpt/last.npz"), ("last.json", "ckpt/last.json"),
+                      ("epochs_done.json", "epochs_done.json"),
+                      ("history.jsonl", "history.jsonl")):
+        p = os.path.join(src, name)
+        if os.path.exists(p):
+            shutil.copy2(p, os.path.join(workdir, rel))
+    print(f"[wrapper] restored workdir state from safekeep ({src})")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
@@ -221,6 +275,9 @@ def main():
     ap.add_argument("--start-shift", type=int, default=0,
                     help="resume the wrapper loop at this shift index "
                          "(training state itself resumes from ckpt/last.npz)")
+    ap.add_argument("--no-safekeep", action="store_true",
+                    help="skip committing shift checkpoints into the tracked "
+                         "repo (default on: VM resets wipe untracked workdirs)")
     ap.add_argument("--_shift", action="store_true", help="internal: run one shift")
     args = ap.parse_args()
 
@@ -229,6 +286,8 @@ def main():
         return
 
     os.makedirs(args.workdir, exist_ok=True)
+    if not args.no_safekeep:
+        _restore_from_safekeep(args.workdir)
     root = os.path.join(args.workdir, "data")
     if not os.path.isdir(root):
         from hmd_ego_pose_tpu.data.synthetic import generate_synthetic_colibri
@@ -303,12 +362,21 @@ def main():
         with open(history_path, "a") as f:
             f.write(json.dumps(res) + "\n")
         ev = res["eval"]
+        # standard error of the val means (VERDICT r4 weak #3: sub-se deltas
+        # must not read as progress); num_matched is the TP count behind the
+        # distance means (eval/evaluator.py)
+        n = max(1, int(ev.get("num_matched", 0)))
+        se = lambda key: ev.get(key, 0.0) / (n ** 0.5)
         print(
             f"[wrapper] shift {shift + 1}: steps={res['steps_done']} "
-            f"mAP={ev['mean_ap']:.3f} t_err={ev['translation_error_mean_mm']:.1f}mm "
-            f"r_err={ev['rotation_error_mean_deg']:.1f}deg "
-            f"ADD={ev['add_accuracy']:.3f} ({res['wall_seconds']:.0f}s)"
+            f"mAP={ev['mean_ap']:.3f} "
+            f"t_err={ev['translation_error_mean_mm']:.1f}±{se('translation_error_std_mm'):.1f}mm "
+            f"r_err={ev['rotation_error_mean_deg']:.1f}±{se('rotation_error_std_deg'):.2f}deg "
+            f"hand={ev['hand_error_mean_mm']:.1f}±{se('hand_error_std_mm'):.1f}mm "
+            f"ADD={ev['add_accuracy']:.3f} (n={n}, {res['wall_seconds']:.0f}s)"
         )
+        if not args.no_safekeep:
+            _safekeep(args.workdir)
         if args.schedule == "plateau":
             # patience is denominated in EPOCHS (train/plateau.py); one
             # shift-level eval burns shift_epochs of it

@@ -145,3 +145,45 @@ def test_handrel_checkpoint_restores_and_is_good_at_both_heads(tmp_path):
     # full-val: 16.6 mm / 39.9 mm; medians on a 6-frame val split get slack
     assert med_t < 30.0, f"median translation error vs GT {med_t:.1f}mm ({t_errs})"
     assert med_hand < 55.0, f"median hand MPJPE vs GT {med_hand:.1f}mm ({hand_errs})"
+
+
+def test_hand_relative_restore_footgun_closed():
+    """VERDICT r4 weak #4: restoring a hand_relative artifact WITHOUT the
+    --hand-relative flag must auto-detect from metadata (no silent wrong
+    decode), and an explicit contradiction must fail loudly."""
+    import argparse
+    import json
+
+    from hmd_ego_pose_tpu.cli import _resolve_hand_relative
+    from hmd_ego_pose_tpu.train.checkpoint import meta_hand_relative
+
+    # metadata reader: explicit key, config-repr fallback, absent
+    assert meta_hand_relative({"hand_relative": True}) is True
+    assert meta_hand_relative({"hand_relative": False}) is False
+    assert meta_hand_relative(
+        {"config": "Config(model=ModelConfig(phi=0, hand_relative=True), ...)"}
+    ) is True
+    assert meta_hand_relative(
+        {"config": "Config(model=ModelConfig(phi=0, hand_relative=False), ...)"}
+    ) is False
+    assert meta_hand_relative({}) is None
+
+    # the shipped handrel artifact auto-detects without the flag
+    sidecar = CKPT_HANDREL[: -len(".npz")] + ".json"
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            meta = json.load(f)
+        args = argparse.Namespace(hand_relative=False)
+        assert _resolve_hand_relative(args, meta) is True
+        assert args.hand_relative is True  # config built from args sees it
+
+    # explicit contradiction (flag says relative, metadata says absolute)
+    # is a hard error, not a silent re-anchor of absolute-decode output
+    with pytest.raises(SystemExit):
+        _resolve_hand_relative(
+            argparse.Namespace(hand_relative=True), {"hand_relative": False}
+        )
+
+    # sidecars predating the record keep the flag as given
+    args = argparse.Namespace(hand_relative=False)
+    assert _resolve_hand_relative(args, {"epoch": 3}) is False
