@@ -156,8 +156,22 @@ def generate_synthetic_colibri(
     test_fraction: float = 0.2,
     num_objects: int = 1,
     hand_render_version: int = 2,
+    render_scale: int = 1,
 ) -> str:
     """Write a synthetic dataset under ``root``; returns the dataset path.
+
+    ``render_scale``: integer scale ``s`` rendering the SAME scenes at
+    ``s``x the linear resolution (pass ``image_size`` scaled by ``s`` too):
+    the focal length and every pixel-denominated rendering constant (splat
+    radii, bone/arm sample densities, the 1/z joint-radius constant) scale
+    by ``s``, while the rng draw SEQUENCE is kept identical to the
+    ``render_scale=1`` dataset of the same seed (the per-frame background
+    noise is drawn at base resolution and pixel-replicated).  A
+    ``(512, 512), render_scale=2`` dataset therefore contains the same
+    poses/hands/splits as the ``(256, 256), render_scale=1`` seed-0 dataset
+    at twice the resolution — the controlled experiment for the
+    "per-joint localizability at 256 px" hand-floor hypothesis
+    (TRAIN_SYNTHETIC.md run-H verdict).
 
     ``hand_render_version``: 2 = round-3 skeleton renderer (default, keeps
     every existing seed-0 dataset bit-identical).  3 adds the cues the
@@ -179,7 +193,9 @@ def generate_synthetic_colibri(
     """
     rng = np.random.RandomState(seed)
     w, h = image_size
-    cam_k = np.array([[480.0, 0.0, w / 2], [0.0, 480.0, h / 2], [0.0, 0.0, 1.0]])
+    s = int(render_scale)
+    focal = 480.0 * s
+    cam_k = np.array([[focal, 0.0, w / 2], [0.0, focal, h / 2], [0.0, 0.0, 1.0]])
 
     object_ids = [object_id + i for i in range(num_objects)]
     obj_dir = os.path.join(root, "data", f"{object_id:02d}")
@@ -254,13 +270,21 @@ def generate_synthetic_colibri(
             trans = np.array([tx, rng.uniform(-60, 60), rng.uniform(400, 700)])
             poses.append((obj, rotvec, np_axis_angle_to_matrix(rotvec), trans))
 
-        image = rng.randint(20, 80, size=(h, w, 3)).astype(np.uint8)
+        if s == 1:
+            image = rng.randint(20, 80, size=(h, w, 3)).astype(np.uint8)
+        else:
+            # draw the background noise at BASE resolution so the rng draw
+            # count (and thus every subsequent pose/hand draw) is identical
+            # to the render_scale=1 dataset, then pixel-replicate
+            base = rng.randint(20, 80, size=(h // s, w // s, 3)).astype(np.uint8)
+            image = np.repeat(np.repeat(base, s, axis=0), s, axis=1)
         mask = np.zeros((h, w), np.uint8)
         # painter's algorithm at object granularity: far objects first, so a
         # nearer object overwrites both pixels AND mask values where it wins
         for obj, _, rot_mat, trans in sorted(poses, key=lambda p: -p[3][2]):
             uv, z = _project(obj["points"], rot_mat, trans, cam_k)
-            _splat(image, mask, uv, z, obj["colors"], mask_value=obj["mask_value"])
+            _splat(image, mask, uv, z, obj["colors"], radius=3 * s,
+                   mask_value=obj["mask_value"])
         # the hand attaches to the FIRST object's pose (one hand per frame,
         # reference layout); its depth arms are grounded on that object
         trans = poses[0][3]
@@ -319,27 +343,27 @@ def generate_synthetic_colibri(
         bone_pts, bone_colors = [], []
         bone_dim = 0.7 if hand_render_version >= 3 else 0.45
         for parent, child in HAND_BONES:
-            ts = np.linspace(0.0, 1.0, 24)[:, None]
+            ts = np.linspace(0.0, 1.0, 24 * s)[:, None]
             bone_pts.append(hand_pts_mm[parent] + ts * (hand_pts_mm[child] - hand_pts_mm[parent]))
             dim = np.clip(np.rint(hand_colors[child].astype(np.float64) * bone_dim), 0, 255)
-            bone_colors.append(np.repeat(dim[None, :].astype(np.uint8), 24, axis=0))
+            bone_colors.append(np.repeat(dim[None, :].astype(np.uint8), 24 * s, axis=0))
         bone_pts = np.concatenate(bone_pts, axis=0)
         bone_colors = np.concatenate(bone_colors, axis=0)
         bone_uv, bone_z = _project(bone_pts, np.eye(3), np.zeros(3), cam_k)
-        _splat(image, np.zeros((h, w), np.uint8), bone_uv, bone_z, bone_colors, radius=1)
+        _splat(image, np.zeros((h, w), np.uint8), bone_uv, bone_z, bone_colors, radius=s)
 
         z_off_mm = hand_pts_mm[:, 2] - trans[2]
         arm_pts, arm_colors = [], []
         for j in range(21):
             length_mm = abs(z_off_mm[j]) * _ARM_MM_PER_MM_OFFSET
             axis = np.array([1.0, 0.0, 0.0]) if z_off_mm[j] >= 0 else np.array([0.0, 1.0, 0.0])
-            ts = np.linspace(0.0, 1.0, 14)[:, None]
+            ts = np.linspace(0.0, 1.0, 14 * s)[:, None]
             arm_pts.append(hand_pts_mm[j] + ts * axis * length_mm)
-            arm_colors.append(np.repeat(hand_colors[j : j + 1], 14, axis=0))
+            arm_colors.append(np.repeat(hand_colors[j : j + 1], 14 * s, axis=0))
         arm_pts = np.concatenate(arm_pts, axis=0)
         arm_colors = np.concatenate(arm_colors, axis=0)
         arm_uv, arm_z = _project(arm_pts, np.eye(3), np.zeros(3), cam_k)
-        _splat(image, np.zeros((h, w), np.uint8), arm_uv, arm_z, arm_colors, radius=0)
+        _splat(image, np.zeros((h, w), np.uint8), arm_uv, arm_z, arm_colors, radius=s - 1)
         if hand_render_version >= 3:
             # palm-orientation arrows: 3D segments from the wrist along the
             # rotated canonical +y (finger direction, cyan) and +x
@@ -352,15 +376,15 @@ def generate_synthetic_colibri(
                 (np.array([0.0, 1.0, 0.0]), np.array([0, 255, 255], np.uint8)),
                 (np.array([1.0, 0.0, 0.0]), np.array([255, 128, 0], np.uint8)),
             ):
-                ts = np.linspace(0.0, 1.0, 18)[:, None]
+                ts = np.linspace(0.0, 1.0, 18 * s)[:, None]
                 seg = hand_pts_mm[0] + ts * (hand_rot @ (axis_vec * 50.0))
                 seg_uv, seg_z = _project(seg, np.eye(3), np.zeros(3), cam_k)
                 _splat(image, np.zeros((h, w), np.uint8), seg_uv, seg_z,
-                       np.repeat(col[None, :], 18, axis=0), radius=1)
+                       np.repeat(col[None, :], 18 * s, axis=0), radius=s)
         hand_uv, hand_z = _project(hand_pts_mm, np.eye(3), np.zeros(3), cam_k)
         joint_radius = (
-            np.clip(np.rint(1400.0 / hand_z), 1, 4).astype(int)
-            if hand_render_version >= 3 else 2
+            np.clip(np.rint(1400.0 * s / hand_z), s, 4 * s).astype(int)
+            if hand_render_version >= 3 else 2 * s
         )
         _splat(image, np.zeros((h, w), np.uint8), hand_uv, hand_z, hand_colors,
                radius=joint_radius)

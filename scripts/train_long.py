@@ -44,8 +44,14 @@ def run_shift(args):
 
     ckpt_dir = os.path.join(args.workdir, "ckpt")
     k = args.num_objects
+    # per-step wall scales ~ with pixel count; the relay worker crashes on
+    # single executions that run too long (CLAUDE.md #7: 375 steps stable
+    # at 187, died at 375 — phi-0/256), so shrink the dispatch chunk
+    # quadratically with resolution unless explicitly overridden
+    dispatch = args.max_steps_per_dispatch or max(20, 160 * 256 * 256 // (args.image_size ** 2))
     cfg = Config(
-        model=ModelConfig(phi=0, image_size=256, compute_dtype="bfloat16",
+        model=ModelConfig(phi=args.phi, image_size=args.image_size,
+                          compute_dtype="bfloat16",
                           remat_backbone=args.remat, num_classes=k,
                           hand_relative=args.hand_relative),
         train=TrainConfig(
@@ -57,9 +63,11 @@ def run_shift(args):
             checkpoint_dir=ckpt_dir,
             eval_every=args.shift_epochs,
             clip_grad_norm=args.clip_grad_norm,
+            max_steps_per_dispatch=dispatch,
             loss=LossConfig(hand_weight=args.hand_weight),
         ),
         data=DataConfig(dataset="syn_colibri", max_objects=k,
+                        image_size=args.image_size,
                         use_colorspace_augmentation=not args.no_color_aug),
         eval=EvalConfig(score_threshold=0.1),
     )
@@ -265,6 +273,41 @@ def main():
                          "(ModelConfig.hand_relative, beyond reference "
                          "parity); the seed checkpoint must have been "
                          "trained the same way or from scratch")
+    ap.add_argument("--hand-render-version", type=int, default=3,
+                    help="synthetic hand renderer version for dataset "
+                         "generation (3 = round-4 grip-distance/arrows/"
+                         "1-over-z-radii renderer, the version every "
+                         "convergence run since run F uses; 2 = the "
+                         "round-3 renderer).  ONLY affects a freshly "
+                         "generated <workdir>/data; a pre-existing dataset "
+                         "is used as-is.  (Round-5 fix: the wrapper "
+                         "previously always generated v2, silently "
+                         "mismatching v3-trained seed checkpoints.)")
+    ap.add_argument("--phi", type=int, default=0,
+                    help="EfficientPose scaling coefficient (per-phi "
+                         "architecture tables, config.py; reference "
+                         "backbone.py:15-43)")
+    ap.add_argument("--image-size", type=int, default=256,
+                    help="square input resolution (model + data); pair "
+                         "with --render-scale for matched-scene "
+                         "higher-resolution synthetic datasets")
+    ap.add_argument("--render-scale", type=int, default=1,
+                    help="synthetic-renderer scale s: image-size 256*s "
+                         "renders the SAME seed-0 scenes at s-x resolution "
+                         "(focal, splat radii, sample densities all scale; "
+                         "rng sequence preserved) — the controlled "
+                         "experiment for the 256-px hand-floor hypothesis")
+    ap.add_argument("--max-steps-per-dispatch", type=int, default=0,
+                    help="override TrainConfig.max_steps_per_dispatch "
+                         "(0 = auto: 160 at 256 px, scaled down "
+                         "quadratically with resolution — the relay worker "
+                         "crashes on over-long single executions)")
+    ap.add_argument("--seed-ckpt", default="",
+                    help="checkpoint npz copied to <workdir>/ckpt/last.npz "
+                         "(with its .json sidecar if present) when the "
+                         "workdir has no checkpoint yet: fine-tune legs "
+                         "seed from a committed artifact without manual "
+                         "copying")
     ap.add_argument("--num-objects", type=int, default=1,
                     help="K-object synthetic scene (beyond the reference's "
                          "K=1 colibri): num_classes=K model, per-class eval "
@@ -288,17 +331,33 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     if not args.no_safekeep:
         _restore_from_safekeep(args.workdir)
+    if args.seed_ckpt:
+        last = os.path.join(args.workdir, "ckpt", "last.npz")
+        if os.path.exists(last):
+            print(f"[wrapper] --seed-ckpt ignored: {last} already exists")
+        else:
+            os.makedirs(os.path.dirname(last), exist_ok=True)
+            shutil.copy2(args.seed_ckpt, last)
+            sidecar = os.path.splitext(args.seed_ckpt)[0] + ".json"
+            if os.path.exists(sidecar):
+                shutil.copy2(sidecar, os.path.join(args.workdir, "ckpt", "last.json"))
+            print(f"[wrapper] seeded {last} from {args.seed_ckpt}")
     root = os.path.join(args.workdir, "data")
     if not os.path.isdir(root):
         from hmd_ego_pose_tpu.data.synthetic import generate_synthetic_colibri
 
-        # 256^2 frames: image_scale = 1, the geometry of the real colibri
-        # camera (camera_params.txt px=py=128 -> 256-px frames)
+        # base geometry: the real colibri camera (camera_params.txt
+        # px=py=128 -> 256-px frames); --render-scale renders the same
+        # seed-0 scenes at s-x resolution with focal scaled to match
+        size = (args.image_size, args.image_size)
         generate_synthetic_colibri(root, num_frames=args.num_frames,
-                                   image_size=(256, 256),
-                                   num_objects=args.num_objects)
+                                   image_size=size,
+                                   num_objects=args.num_objects,
+                                   hand_render_version=args.hand_render_version,
+                                   render_scale=args.render_scale)
         print(f"generated {args.num_frames}-frame "
-              f"{args.num_objects}-object synthetic dataset at {root}")
+              f"{args.num_objects}-object {size[0]}px "
+              f"v{args.hand_render_version} synthetic dataset at {root}")
 
     from hmd_ego_pose_tpu.train.plateau import ReduceLROnPlateau
 
@@ -323,6 +382,9 @@ def main():
             "--hand-weight", str(args.hand_weight),
             "--num-objects", str(args.num_objects),
             "--clip-grad-norm", str(args.clip_grad_norm),
+            "--phi", str(args.phi),
+            "--image-size", str(args.image_size),
+            "--max-steps-per-dispatch", str(args.max_steps_per_dispatch),
         ]
         if args.remat:
             cmd.append("--remat")
