@@ -59,11 +59,12 @@ def main():
             f"bench exceeded {BENCH_TIMEOUT_S}s (TPU relay unreachable or wedged)",
         }), flush=True)
         os._exit(1)
-    # the headline line is out; the optional BENCH_VERBOSE sync-mode
-    # calibration (stderr only) gets its own bounded window so a relay
-    # wedge there can never hang the driver or add a second stdout line
-    cal_done.wait(600)
-    os._exit(0)
+    else:
+        # the headline line is out; the optional BENCH_VERBOSE sync-mode
+        # calibration (stderr only) gets its own bounded window so a relay
+        # wedge there can never hang the driver or add a second stdout line
+        cal_done.wait(600)
+        os._exit(0)
 
 
 def _bench(done=None):
