@@ -87,62 +87,65 @@ def test_trained_checkpoint_restores_and_predicts_golden(golden):
         assert med_hand < 60.0, f"median hand MPJPE vs GT {med_hand:.1f}mm"
 
 
-CKPT_HANDREL = os.path.join(REPO, "trained", "syn1000_phi0_512ep_handrel_int8.npz")
+CKPT_HANDREL = os.path.join(REPO, "trained", "syn1000_phi0_576ep_handrel_int8.npz")
 
 
-def test_handrel_checkpoint_restores_and_is_good_at_both_heads(tmp_path):
-    """Goodness regression for the best-hand artifact (run H,
-    TRAIN_SYNTHETIC.md): drill-anchored hand decode, trained on the v3
-    grip-placement renderer — so it is evaluated on freshly generated v3
-    frames (the committed golden frames are v2; a grip-anchored hand head is
-    out-of-distribution on free-placed v2 hands by construction).  Numerics
-    drift of the shared restore/predict stack is pinned per-frame by the
-    448ep golden test above; the hand re-anchoring itself has an exact
-    round-trip test (test_ops.py::test_hand_relative_roundtrip), so this
-    test asserts trained-capability medians vs GT only.  Full-val numbers
-    for this artifact: drill 16.6 mm / 4.63 deg, hand MPJPE 39.9 mm —
-    the best measured hand across runs D-H (floor: 100.4 mm)."""
-    if not os.path.exists(CKPT_HANDREL):
-        pytest.skip("handrel trained checkpoint not present")
-    from hmd_ego_pose_tpu.data.colibri import ColibriDataset
-    from hmd_ego_pose_tpu.data.synthetic import generate_synthetic_colibri
+@pytest.fixture(scope="module")
+def handrel_golden():
+    path = os.path.join(GOLDEN, "handrel_ckpt_expected.npz")
+    if not (os.path.exists(path) and os.path.exists(CKPT_HANDREL)):
+        pytest.skip("handrel trained checkpoint golden not present")
+    return dict(np.load(path).items())
 
-    root = generate_synthetic_colibri(
-        str(tmp_path), num_frames=30, image_size=(256, 256),
-        hand_render_version=3,
-    )
-    ds = ColibriDataset(root, fold=0, partition="val")
 
+def test_handrel_checkpoint_restores_and_predicts_golden(handrel_golden):
+    """Golden regression for the shipped both-heads artifact (run I-b,
+    TRAIN_SYNTHETIC.md round 5): drill-anchored hand decode, trained on the
+    v3 grip-placement renderer.  Evaluates on COMMITTED v3 frames with
+    per-frame pins (round-4 advice: the previous version generated frames
+    on the fly, so v3-renderer evolution silently changed the eval set and
+    hand_relative decode numerics had no per-frame golden).  Full-val
+    numbers for this artifact (200 frames, TPU): drill 16.5 mm / 4.4 deg,
+    hand MPJPE 40.0 mm — and on the SAME v3 val set the 448ep artifact
+    reads 18.3 mm / 6.19 deg / 46.7 mm, so this artifact is the best at
+    both heads on equal data.  Regenerate goldens (after an INTENTIONAL
+    change) with:  JAX_PLATFORMS=cpu python tests/goldens/make_handrel_golden.py
+    """
     cfg = Config(model=ModelConfig(phi=0, image_size=256,
                                    compute_dtype="bfloat16",
                                    hand_relative=True))
     params, bn_state, meta = restore_checkpoint(CKPT_HANDREL)
-    assert meta.get("cumulative_epochs") == 512
+    assert meta.get("cumulative_epochs") == 576
     assert meta.get("hand_relative") is True
     predict = hmd_ego_pose.make_predict_fn(cfg.model, score_threshold=0.1)
 
     t_errs, hand_errs = [], []
-    for i in range(len(ds)):
-        frame = ds.load_image(i)
-        cam = ds.load_camera_matrix(i)
-        anno = ds.load_annotations(i)
+    g = handrel_golden
+    for i in range(int(g["n_frames"])):
+        frame = imread_rgb(os.path.join(GOLDEN, f"handrel_ckpt_frame_{i}.png"))
         image, scale = preprocess_image(frame, cfg.model.image_size)
-        cam6 = np.asarray(
-            [[cam[0, 0], cam[1, 1], cam[0, 2], cam[1, 2], 1000.0, scale]],
-            np.float32,
-        )
-        det = predict(params, bn_state, image[None], cam6)
+        det = predict(params, bn_state, image[None], g[f"camera_{i}"])
         top = int(np.argmax(np.asarray(det.scores[0])))
+        score = float(det.scores[0][top])
+        box = np.asarray(det.boxes[0][top]) / scale
+        rotation = np.asarray(det.rotation[0][top]) * np.pi
         translation = np.asarray(det.translation[0][top])
         hand = np.asarray(det.hand[0][top])
-        t_errs.append(float(np.linalg.norm(translation - anno["translations"][0])))
-        gt_hand = np.asarray(anno["coords_3d"][0], np.float32) * scale
+
+        assert score == pytest.approx(float(g[f"score_{i}"]), abs=2e-2)
+        np.testing.assert_allclose(box, g[f"box_{i}"], atol=2.0)
+        np.testing.assert_allclose(rotation, g[f"rotation_{i}"], atol=5e-2)
+        np.testing.assert_allclose(translation, g[f"translation_{i}"], atol=2.0)
+        np.testing.assert_allclose(hand, g[f"hand_{i}"], atol=5.0)
+        t_errs.append(float(np.linalg.norm(
+            translation - g[f"gt_translation_{i}"])))
         hand_errs.append(float(np.mean(np.linalg.norm(
-            hand.reshape(21, 3) - gt_hand.reshape(21, 3), axis=-1)) * 1000.0))
+            hand.reshape(21, 3) - g[f"gt_hand_{i}"].reshape(21, 3),
+            axis=-1)) * 1000.0))
 
     med_t = float(np.median(t_errs))
     med_hand = float(np.median(hand_errs))
-    # full-val: 16.6 mm / 39.9 mm; medians on a 6-frame val split get slack
+    # full-val: 16.5 mm / 40.0 mm; medians on a 6-frame val split get slack
     assert med_t < 30.0, f"median translation error vs GT {med_t:.1f}mm ({t_errs})"
     assert med_hand < 55.0, f"median hand MPJPE vs GT {med_hand:.1f}mm ({hand_errs})"
 
