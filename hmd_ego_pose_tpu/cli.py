@@ -365,6 +365,7 @@ def cmd_make_synthetic(args):
         image_size=(args.frame_size, args.frame_size),
         num_objects=args.num_objects,
         hand_render_version=args.hand_render_version,
+        render_scale=args.render_scale,
     )
     print(f"synthetic colibri dataset at {path}")
 
@@ -489,7 +490,16 @@ def main(argv=None):
     p.add_argument("--hand-render-version", type=int, default=2, choices=(2, 3),
                    help="3 = round-4 hand cues: grip-distance placement, "
                         "1/z joint radii, palm-orientation arrows "
-                        "(TRAIN_SYNTHETIC.md run-G)")
+                        "(TRAIN_SYNTHETIC.md run-G).  Default 2 keeps "
+                        "existing seed-0 datasets bit-identical; every "
+                        "convergence run since run F (and the shipped "
+                        "576ep artifact) uses 3 — scripts/train_long.py "
+                        "defaults to 3")
+    p.add_argument("--render-scale", type=int, default=1,
+                   help="integer scale s: pass --frame-size 256*s to render "
+                        "the SAME seed scenes at s-x resolution (focal and "
+                        "all pixel-denominated constants scale; rng "
+                        "sequence preserved — TRAIN_SYNTHETIC.md run R512)")
     p.set_defaults(func=cmd_make_synthetic)
 
     args = parser.parse_args(argv)
